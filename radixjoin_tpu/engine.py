@@ -1,0 +1,313 @@
+"""Plan execution engine.
+
+Topologically walks a :class:`~radixjoin_tpu.plan.ir.Plan` and evaluates it
+over dense device arrays (the reference interprets the same tree over
+row-variant vectors, src/execute.cpp:302-314). Equivalent public surface to
+the reference contract (include/plan.h:337-344):
+
+    ctx = build_context(); result = execute(plan, ctx); destroy_context(ctx)
+
+Data model on device:
+  * every column is (data, valid) — ``data`` int32/int64 (FP64 is carried as
+    bitcast int64 since TPUs have no native f64; the bits round-trip
+    exactly), ``valid`` bool;
+  * VARCHAR columns are dictionary-encoded: int32 ids on device plus a
+    host-side sorted dictionary of ``bytes`` (strings are only ever compared
+    for equality in joins, so id equality after dictionary unification is
+    exact);
+  * arrays are padded to pow2 buckets, padding rows have ``valid = False``.
+
+Join semantics replicated from the reference:
+  * inner equi-join, NULL keys never match (src/execute.cpp:62-83);
+  * duplicate keys fan out (one output row per matching build row,
+    src/execute.cpp:232-243);
+  * if either child is empty the join is empty (src/execute.cpp:50);
+  * a key-type mismatch between the two sides yields an empty join — the
+    reference extracts keys via variant type-match, so a probe value of a
+    different alternative never matches (src/execute.cpp:75-83);
+  * output column ``ci`` of a join reads left-child output ``ci`` when
+    ``ci < left_width`` else right-child output ``ci - left_width``
+    (src/execute.cpp:238-241).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .dtypes import DataType
+from .ops import join as join_ops
+from .plan.ir import JoinNode, Plan, ScanNode
+from .storage.columnar import Column, ColumnarTable, HostColumn, HostTable
+from .storage import page as page_codec
+
+_F64_SIGN = np.int64(np.int64(-2) ** 63)  # 0x8000000000000000
+_F64_EXP = np.int64(0x7FF0000000000000)
+_F64_MANT = np.int64(0x000FFFFFFFFFFFFF)
+
+
+@dataclasses.dataclass
+class DevColumn:
+    """One dense device column + validity, padded to the table bucket."""
+
+    dtype: DataType
+    data: jnp.ndarray
+    valid: jnp.ndarray
+    dictionary: Optional[np.ndarray] = None  # sorted bytes values (VARCHAR)
+
+
+@dataclasses.dataclass
+class DevTable:
+    num_rows: int  # exact row count; arrays are padded beyond it
+    columns: List[DevColumn]
+
+    @property
+    def padded_rows(self) -> int:
+        return 0 if not self.columns else int(self.columns[0].data.shape[0])
+
+
+class Context:
+    """Engine context (reference build_context/destroy_context).
+
+    Holds nothing critical today; exists so harnesses can carry caches and
+    device/mesh configuration across queries.
+    """
+
+    def __init__(self, device=None):
+        self.device = device
+
+
+def build_context() -> Context:
+    return Context()
+
+
+def destroy_context(context: Optional[Context]) -> None:
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device column conversion
+# ---------------------------------------------------------------------------
+
+
+def host_column_to_device(col: HostColumn, pad: int) -> DevColumn:
+    n = len(col.valid)
+    valid = np.zeros(pad, dtype=bool)
+    valid[:n] = col.valid
+    if col.dtype is DataType.VARCHAR:
+        present = col.values[col.valid]
+        if len(present):
+            dictionary, inverse = np.unique(present, return_inverse=True)
+        else:
+            dictionary, inverse = np.empty(0, dtype=object), np.zeros(0, np.int64)
+        ids = np.zeros(pad, dtype=np.int32)
+        ids[: n][col.valid] = inverse.astype(np.int32)
+        return DevColumn(col.dtype, jnp.asarray(ids), jnp.asarray(valid), dictionary)
+    if col.dtype is DataType.FP64:
+        bits = np.zeros(pad, dtype=np.int64)
+        bits[:n] = col.values.view(np.int64)
+        return DevColumn(col.dtype, jnp.asarray(bits), jnp.asarray(valid))
+    data = np.zeros(pad, dtype=col.dtype.numpy_dtype)
+    data[:n] = col.values
+    return DevColumn(col.dtype, jnp.asarray(data), jnp.asarray(valid))
+
+
+def device_column_to_host(col: DevColumn, num_rows: int) -> HostColumn:
+    data = np.asarray(col.data)[:num_rows]
+    valid = np.asarray(col.valid)[:num_rows]
+    if col.dtype is DataType.VARCHAR:
+        values = np.empty(num_rows, dtype=object)
+        values[:] = b""
+        if num_rows and len(col.dictionary):
+            ids = np.clip(data, 0, len(col.dictionary) - 1)
+            values[valid] = col.dictionary[ids[valid]]
+        return HostColumn(col.dtype, values, valid)
+    if col.dtype is DataType.FP64:
+        return HostColumn(col.dtype, data.view(np.float64), valid)
+    return HostColumn(col.dtype, data, valid)
+
+
+def host_table_to_device(table: HostTable) -> DevTable:
+    pad = join_ops.bucket_size(table.num_rows)
+    return DevTable(
+        table.num_rows, [host_column_to_device(c, pad) for c in table.columns]
+    )
+
+
+def device_table_to_host(table: DevTable) -> HostTable:
+    return HostTable(
+        table.num_rows,
+        [device_column_to_host(c, table.num_rows) for c in table.columns],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join key normalization
+# ---------------------------------------------------------------------------
+
+
+def _canonicalize_f64_key(data: jnp.ndarray, valid: jnp.ndarray):
+    """FP64 join-key equality on bitcast int64.
+
+    ``-0.0 == +0.0`` must match (canonicalize the bit pattern) and
+    ``NaN != NaN`` must never match (NaN keys become invalid) — this is what
+    the reference's ``slot_key[h] != key`` over doubles does
+    (src/execute.cpp:215, :231).
+    """
+    is_nan = ((data & _F64_EXP) == _F64_EXP) & ((data & _F64_MANT) != 0)
+    canon = jnp.where(data == _F64_SIGN, jnp.int64(0), data)
+    return canon, valid & ~is_nan
+
+
+def _unify_dictionaries(a: DevColumn, b: DevColumn):
+    """Map two dictionary-encoded columns onto one joint id space (exact)."""
+    da = a.dictionary if a.dictionary is not None else np.empty(0, dtype=object)
+    db = b.dictionary if b.dictionary is not None else np.empty(0, dtype=object)
+    combined = np.concatenate([da, db]) if (len(da) or len(db)) else np.empty(0, object)
+    if len(combined):
+        _, inverse = np.unique(combined, return_inverse=True)
+        map_a = jnp.asarray(inverse[: len(da)].astype(np.int32))
+        map_b = jnp.asarray(inverse[len(da) :].astype(np.int32))
+    else:
+        map_a = jnp.zeros(0, jnp.int32)
+        map_b = jnp.zeros(0, jnp.int32)
+
+    def remap(col, mapping):
+        if mapping.shape[0] == 0:
+            return jnp.zeros_like(col.data)
+        ids = jnp.clip(col.data, 0, mapping.shape[0] - 1)
+        return mapping[ids]
+
+    return remap(a, map_a), remap(b, map_b)
+
+
+def normalize_join_keys(build: DevColumn, probe: DevColumn):
+    """Produce comparable (key, valid) pairs for both sides.
+
+    Returns None when the column types cannot match under the reference's
+    variant-extraction semantics (the join result is then empty).
+    """
+    bt, pt = build.dtype, probe.dtype
+    if bt is not pt:
+        return None
+    if bt is DataType.VARCHAR:
+        kb, kp = _unify_dictionaries(build, probe)
+        return (kb, build.valid), (kp, probe.valid)
+    if bt is DataType.FP64:
+        kb, vb = _canonicalize_f64_key(build.data, build.valid)
+        kp, vp = _canonicalize_f64_key(probe.data, probe.valid)
+        return (kb, vb), (kp, vp)
+    return (build.data, build.valid), (probe.data, probe.valid)
+
+
+# ---------------------------------------------------------------------------
+# Node execution
+# ---------------------------------------------------------------------------
+
+
+def _execute_scan(input_table: ColumnarTable, output_attrs) -> DevTable:
+    """Decode the paged input and project ``output_attrs``.
+
+    (Reference: Table::from_columnar + per-record projection,
+    src/execute.cpp:284-300 — here projection is column selection, free.)
+    """
+    host = input_table.to_host()
+    dev = host_table_to_device(host)
+    cols = []
+    for col_idx, dt in output_attrs:
+        col = dev.columns[col_idx]
+        if col.dtype is not dt:
+            raise TypeError(
+                f"scan output attr {col_idx}: declared {dt}, stored {col.dtype}"
+            )
+        cols.append(col)
+    return DevTable(dev.num_rows, cols)
+
+
+def _empty_result(output_attrs) -> DevTable:
+    pad = join_ops.bucket_size(0)
+    cols = []
+    for _, dt in output_attrs:
+        data_dtype = np.int32 if dt in (DataType.INT32, DataType.VARCHAR) else np.int64
+        cols.append(
+            DevColumn(
+                dt,
+                jnp.zeros(pad, dtype=data_dtype),
+                jnp.zeros(pad, dtype=bool),
+                np.empty(0, dtype=object) if dt is DataType.VARCHAR else None,
+            )
+        )
+    return DevTable(0, cols)
+
+
+def _execute_join(left: DevTable, right: DevTable, join: JoinNode, output_attrs) -> DevTable:
+    if left.num_rows == 0 or right.num_rows == 0:
+        return _empty_result(output_attrs)
+
+    if join.build_left:
+        build, probe = left, right
+        build_attr, probe_attr = join.left_attr, join.right_attr
+    else:
+        build, probe = right, left
+        build_attr, probe_attr = join.right_attr, join.left_attr
+
+    keys = normalize_join_keys(build.columns[build_attr], probe.columns[probe_attr])
+    if keys is None:
+        return _empty_result(output_attrs)
+    (kb, vb), (kp, vp) = keys
+
+    bidx, pidx, live, total = join_ops.join_count_and_index(kb, vb, kp, vp)
+    if total == 0:
+        return _empty_result(output_attrs)
+
+    lidx = bidx if join.build_left else pidx
+    ridx = pidx if join.build_left else bidx
+
+    left_w = len(left.columns)
+    out_cols: List[DevColumn] = []
+    for ci, dt in output_attrs:
+        if ci < left_w:
+            src, idx = left.columns[ci], lidx
+        else:
+            src, idx = right.columns[ci - left_w], ridx
+        [(data, valid)] = join_ops.gather_columns([(src.data, src.valid)], idx, live)
+        out_cols.append(DevColumn(dt, data, valid, src.dictionary))
+    return DevTable(total, out_cols)
+
+
+def execute_device(plan: Plan, context: Optional[Context] = None) -> DevTable:
+    """Run the plan, returning the root as a dense device table."""
+    plan.validate()
+    results = {}
+    for idx in plan.topo_order():
+        node = plan.nodes[idx]
+        if isinstance(node.data, ScanNode):
+            results[idx] = _execute_scan(
+                plan.inputs[node.data.base_table_id], node.output_attrs
+            )
+        else:
+            results[idx] = _execute_join(
+                results[node.data.left],
+                results[node.data.right],
+                node.data,
+                node.output_attrs,
+            )
+    return results[plan.root]
+
+
+def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
+    """Evaluate ``plan`` and encode the result as a paged ColumnarTable.
+
+    Equivalent to the reference ``Contest::execute`` (src/execute.cpp:316-324).
+    """
+    dev = execute_device(plan, context)
+    host = device_table_to_host(dev)
+    cols = [
+        Column(c.dtype, page_codec.encode_column(c.values, c.valid, c.dtype))
+        for c in host.columns
+    ]
+    return ColumnarTable(host.num_rows, cols)

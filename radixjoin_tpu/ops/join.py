@@ -1,0 +1,159 @@
+"""Single-device equi-join kernels (JAX/XLA).
+
+The reference joins by building a per-bucket open-addressing hash table and
+walking per-slot ``std::vector`` duplicate chains (reference
+src/execute.cpp:190-250). That shape is hostile to a vector machine. The
+TPU-native formulation used here is fully data-parallel and static-shaped:
+
+1. **Order the build side** with a lexicographic ``lax.sort`` over
+   ``(invalid, key)`` — NULL/padding rows sink to the tail, duplicates become
+   contiguous runs (this is the radix/partitioning step collapsed to its
+   limit: a full ordering).
+2. **Probe by vectorized binary search**: for every probe key, ``lo/hi =
+   searchsorted(build_keys)`` bound its duplicate run; ``count = hi - lo``.
+   This replaces pointer-chasing with O(log B) batched gathers.
+3. **Count-then-materialize**: join fan-out is data-dependent, which XLA's
+   static shapes cannot express. We run the count kernel, sync the scalar
+   total to the host, and materialize into a pow2-padded output
+   (count+exact-allocation is the standard two-phase fix; the reference
+   instead reallocates vectors per row, which made it allocator-bound —
+   SURVEY.md §3.2).
+4. **Expansion** of duplicate matches uses a searchsorted over the exclusive
+   offsets (a segmented "repeat" — replaces the reference's per-slot
+   ``slot_idxs`` vectors, src/execute.cpp:232-243).
+
+NULL-key semantics: rows with ``valid == False`` never match (inner join
+drops NULL keys, reference src/execute.cpp:62-83).
+
+All kernels are shape-polymorphic only through the jit cache: callers pad
+inputs to pow2 buckets (:func:`bucket_size`) so compilation count stays
+bounded and the persistent compilation cache stays hot.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MIN_BUCKET = 128
+
+
+def bucket_size(n: int, minimum: int = MIN_BUCKET) -> int:
+    """Smallest power of two >= max(n, minimum)."""
+    n = max(int(n), minimum)
+    return 1 << (n - 1).bit_length()
+
+
+def pad_1d(arr: jnp.ndarray, size: int, fill=0) -> jnp.ndarray:
+    if arr.shape[0] == size:
+        return arr
+    if arr.shape[0] > size:
+        raise ValueError("cannot pad down")
+    return jnp.pad(arr, (0, size - arr.shape[0]), constant_values=fill)
+
+
+@jax.jit
+def join_count(
+    build_keys: jnp.ndarray,
+    build_valid: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    probe_valid: jnp.ndarray,
+):
+    """Count pass.
+
+    Inputs are padded: ``build_keys``/``build_valid`` shape (Bp,),
+    ``probe_keys``/``probe_valid`` shape (Pp,), with padding rows invalid.
+
+    Returns ``(perm, lo, counts, offsets, total)``:
+      * ``perm``   (Bp,)  int32 — original build row id at each sorted slot
+      * ``lo``     (Pp,)  int64 — start of the matching build run per probe
+      * ``counts`` (Pp,)  int64 — matches per probe row (0 if invalid)
+      * ``offsets``(Pp,)  int64 — exclusive prefix sum of counts
+      * ``total``  ()     int64 — output cardinality
+    """
+    bp = build_keys.shape[0]
+    invalid = (~build_valid).astype(jnp.uint8)
+    iota = jnp.arange(bp, dtype=jnp.int32)
+    # Lexicographic sort by (invalid, key): valid rows first, key-ordered.
+    _, keys_sorted, perm = jax.lax.sort(
+        (invalid, build_keys, iota), num_keys=2
+    )
+    nvalid = jnp.sum(build_valid.astype(jnp.int64))
+    # The invalid tail holds arbitrary key values; overwrite with the dtype
+    # max so the array is globally sorted for searchsorted. A real key equal
+    # to the max is still counted exactly because lo/hi are clamped to
+    # nvalid below.
+    pos = jnp.arange(bp, dtype=jnp.int64)
+    maxval = jnp.array(jnp.iinfo(build_keys.dtype).max, dtype=build_keys.dtype)
+    keys_search = jnp.where(pos < nvalid, keys_sorted, maxval)
+    lo = jnp.searchsorted(keys_search, probe_keys, side="left").astype(jnp.int64)
+    hi = jnp.searchsorted(keys_search, probe_keys, side="right").astype(jnp.int64)
+    lo = jnp.minimum(lo, nvalid)
+    hi = jnp.minimum(hi, nvalid)
+    counts = jnp.where(probe_valid, hi - lo, 0)
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    total = jnp.sum(counts)
+    return perm, lo, counts, offsets, total
+
+
+@functools.partial(jax.jit, static_argnames=("s_pad",))
+def join_expand(
+    perm: jnp.ndarray,
+    lo: jnp.ndarray,
+    offsets: jnp.ndarray,
+    total: jnp.ndarray,
+    s_pad: int,
+):
+    """Expansion pass: output position -> (build_row, probe_row, live).
+
+    For output slot j, the owning probe row is the last i with
+    ``offsets[i] <= j`` (zero-count probes share offsets with their
+    successor; the last index of an equal-offset run is the one with
+    matches). ``within = j - offsets[i]`` selects the duplicate, and
+    ``perm[lo[i] + within]`` maps back to the original build row id.
+    """
+    j = jnp.arange(s_pad, dtype=jnp.int64)
+    pidx = jnp.searchsorted(offsets, j, side="right") - 1
+    pidx = jnp.clip(pidx, 0, offsets.shape[0] - 1)
+    within = j - offsets[pidx]
+    bpos = jnp.clip(lo[pidx] + within, 0, perm.shape[0] - 1)
+    bidx = perm[bpos]
+    live = j < total
+    bidx = jnp.where(live, bidx, 0).astype(jnp.int32)
+    pidx = jnp.where(live, pidx, 0).astype(jnp.int32)
+    return bidx, pidx, live
+
+
+@jax.jit
+def gather_columns(
+    cols: List[Tuple[jnp.ndarray, jnp.ndarray]],
+    idx: jnp.ndarray,
+    live: jnp.ndarray,
+):
+    """Late materialization: gather (data, valid) pairs at ``idx``.
+
+    Padding output rows get ``valid = False`` so they can never join or
+    emit downstream.
+    """
+    out = []
+    for data, valid in cols:
+        out.append((data[idx], valid[idx] & live))
+    return out
+
+
+def join_count_and_index(build_keys, build_valid, probe_keys, probe_valid):
+    """Host driver for the two-phase join: returns (bidx, pidx, live, total).
+
+    Performs exactly one device->host sync (the scalar ``total``) to pick
+    the static output bucket, mirroring count-then-materialize.
+    """
+    perm, lo, _counts, offsets, total_dev = join_count(
+        build_keys, build_valid, probe_keys, probe_valid
+    )
+    total = int(total_dev)
+    s_pad = bucket_size(total)
+    bidx, pidx, live = join_expand(perm, lo, offsets, total_dev, s_pad)
+    return bidx, pidx, live, total
