@@ -1,0 +1,313 @@
+"""Synthetic IMDB generator (literal-aware).
+
+The real 1.2 GB IMDB CSV dump is not redistributable with this repo, so the
+correctness/benchmark harness generates a schema-conformant synthetic IMDB
+at a configurable scale. To keep the 113 JOB queries *meaningful* (filters
+must select non-trivial fractions; joins must produce rows), the generator
+harvests every literal the queries compare against — equality strings, LIKE
+patterns, numeric ranges — and mixes harvested values (and strings
+instantiated from LIKE patterns) into the generated columns.
+
+Foreign keys follow the IMDB schema (movie_id -> title, person_id -> name,
+...) with a skewed hot-key component, so the join-size distribution
+resembles the real workload (and exercises the skew handling of the
+distributed path).
+
+Deterministic for a given (scale, seed).
+"""
+
+from __future__ import annotations
+
+import string
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..dtypes import DataType
+from ..sql import catalog
+from ..sql.frontend import ParsedSQL
+from ..sql.predicate import Comparison, LogicalOperation, Op, Statement
+from ..storage.columnar import HostColumn, HostTable
+
+# Approximate real IMDB row counts (sets *relative* table sizes).
+REAL_ROWS: Dict[str, int] = {
+    "aka_name": 901_343,
+    "aka_title": 361_472,
+    "cast_info": 36_244_344,
+    "char_name": 3_140_339,
+    "comp_cast_type": 4,
+    "company_name": 234_997,
+    "company_type": 4,
+    "complete_cast": 135_086,
+    "info_type": 113,
+    "keyword": 134_170,
+    "kind_type": 7,
+    "link_type": 18,
+    "movie_companies": 2_609_129,
+    "movie_info": 14_835_720,
+    "movie_info_idx": 1_380_035,
+    "movie_keyword": 4_523_930,
+    "movie_link": 29_997,
+    "name": 4_167_491,
+    "role_type": 12,
+    "title": 2_528_312,
+    "person_info": 2_963_664,
+}
+
+# column -> referenced table (foreign keys per job/schema.sql + fkindexes.sql)
+FOREIGN_KEYS: Dict[str, Dict[str, str]] = {
+    "aka_name": {"person_id": "name"},
+    "aka_title": {"movie_id": "title", "kind_id": "kind_type", "episode_of_id": "title"},
+    "cast_info": {
+        "person_id": "name",
+        "movie_id": "title",
+        "person_role_id": "char_name",
+        "role_id": "role_type",
+    },
+    "complete_cast": {
+        "movie_id": "title",
+        "subject_id": "comp_cast_type",
+        "status_id": "comp_cast_type",
+    },
+    "movie_companies": {
+        "movie_id": "title",
+        "company_id": "company_name",
+        "company_type_id": "company_type",
+    },
+    "movie_info": {"movie_id": "title", "info_type_id": "info_type"},
+    "movie_info_idx": {"movie_id": "title", "info_type_id": "info_type"},
+    "movie_keyword": {"movie_id": "title", "keyword_id": "keyword"},
+    "movie_link": {
+        "movie_id": "title",
+        "linked_movie_id": "title",
+        "link_type_id": "link_type",
+    },
+    "person_info": {"person_id": "name", "info_type_id": "info_type"},
+    "title": {"kind_id": "kind_type", "episode_of_id": "title"},
+}
+
+# NULL fraction per (table, column); default by column kind below.
+_NULL_FRACTION_OVERRIDES: Dict[Tuple[str, str], float] = {
+    ("cast_info", "person_role_id"): 0.3,
+    ("cast_info", "note"): 0.5,
+    ("cast_info", "nr_order"): 0.5,
+    ("title", "episode_of_id"): 0.9,
+    ("title", "production_year"): 0.05,
+    ("aka_title", "episode_of_id"): 0.95,
+    ("movie_companies", "note"): 0.5,
+    ("movie_info", "note"): 0.7,
+    ("movie_info_idx", "note"): 0.9,
+    ("person_info", "note"): 0.8,
+}
+
+_NOT_NULL = {"id", "movie_id", "person_id", "company_id", "company_type_id",
+             "info_type_id", "keyword_id", "link_type_id", "role_id",
+             "kind_id", "subject_id", "status_id", "linked_movie_id",
+             "name", "title", "keyword", "kind", "info", "link", "role"}
+
+# Enum-like tables whose values come first from harvested literals.
+_ENUM_TABLES = {
+    "comp_cast_type": "kind",
+    "company_type": "kind",
+    "info_type": "info",
+    "kind_type": "kind",
+    "link_type": "link",
+    "role_type": "role",
+}
+
+_RAND_CHARS = np.frombuffer(
+    (string.ascii_letters + string.digits + " ()[]-.:,'&").encode("latin-1"),
+    dtype=np.uint8,
+)
+
+
+class LiteralHarvest:
+    """Literals the JOB queries compare against, per (table, column)."""
+
+    def __init__(self):
+        self.eq: Dict[Tuple[str, str], List] = {}
+        self.like: Dict[Tuple[str, str], List[bytes]] = {}
+        self.numeric: Dict[Tuple[str, str], List[float]] = {}
+
+    def scan_queries(self, queries: List[str]) -> "LiteralHarvest":
+        for sql in queries:
+            parsed = ParsedSQL(sql)
+            for entity, stmt in parsed.filters.items():
+                self._walk(entity.table, stmt)
+        return self
+
+    def _walk(self, table: str, stmt: Statement) -> None:
+        if isinstance(stmt, LogicalOperation):
+            for child in stmt.children:
+                self._walk(table, child)
+            return
+        assert isinstance(stmt, Comparison)
+        column = catalog.ATTRIBUTES[table][stmt.column][0]
+        key = (table, column)
+        if stmt.op in (Op.IS_NULL, Op.IS_NOT_NULL):
+            return
+        if stmt.op in (Op.LIKE, Op.NOT_LIKE):
+            self.like.setdefault(key, []).append(stmt.value)
+        elif isinstance(stmt.value, bytes):
+            self.eq.setdefault(key, []).append(stmt.value)
+        else:
+            self.numeric.setdefault(key, []).append(stmt.value)
+
+
+def _instantiate_like(rng: np.random.Generator, pattern: bytes) -> bytes:
+    """Produce a string matching a LIKE pattern (%% -> junk, _ -> char)."""
+    out = bytearray()
+    for ch in pattern:
+        c = bytes([ch])
+        if c == b"%":
+            n = int(rng.integers(0, 7))
+            out += bytes(_RAND_CHARS[rng.integers(0, len(_RAND_CHARS), n)])
+        elif c == b"_":
+            out += bytes(_RAND_CHARS[rng.integers(0, len(_RAND_CHARS), 1)])
+        else:
+            out.append(ch)
+    return bytes(out)
+
+
+def _random_strings(rng: np.random.Generator, n: int, min_len=4, max_len=18):
+    lens = rng.integers(min_len, max_len + 1, n)
+    total = int(lens.sum())
+    flat = _RAND_CHARS[rng.integers(0, len(_RAND_CHARS), total)]
+    out = np.empty(n, dtype=object)
+    pos = 0
+    buf = flat.tobytes()
+    for i in range(n):
+        l = int(lens[i])
+        out[i] = buf[pos : pos + l]
+        pos += l
+    return out
+
+
+class SyntheticIMDB:
+    def __init__(
+        self,
+        scale: float = 0.001,
+        seed: int = 0,
+        queries: Optional[List[str]] = None,
+        min_rows: int = 50,
+        hot_keys: int = 16,
+        hot_fraction: float = 0.2,
+    ):
+        self.scale = scale
+        self.seed = seed
+        self.min_rows = min_rows
+        self.hot_keys = hot_keys
+        self.hot_fraction = hot_fraction
+        self.harvest = LiteralHarvest()
+        if queries:
+            self.harvest.scan_queries(queries)
+
+    # -- sizing ------------------------------------------------------------
+
+    def table_rows(self, table: str) -> int:
+        real = REAL_ROWS[table]
+        if table in _ENUM_TABLES:
+            pool = self.harvest.eq.get((table, _ENUM_TABLES[table]), [])
+            return max(real, len(set(pool)))
+        return max(self.min_rows, int(real * self.scale))
+
+    # -- per-column generators ----------------------------------------------
+
+    def _null_fraction(self, table: str, column: str) -> float:
+        if column in _NOT_NULL:
+            return 0.0
+        override = _NULL_FRACTION_OVERRIDES.get((table, column))
+        if override is not None:
+            return override
+        return 0.3
+
+    def _gen_int(self, rng, table: str, column: str, n: int) -> np.ndarray:
+        key = (table, column)
+        fk_target = FOREIGN_KEYS.get(table, {}).get(column)
+        if column == "id":
+            return np.arange(1, n + 1, dtype=np.int32)
+        if fk_target is not None:
+            target_n = self.table_rows(fk_target)
+            uniform = rng.integers(1, target_n + 1, n)
+            if target_n > self.hot_keys * 4 and self.hot_fraction > 0:
+                hot_ids = rng.integers(1, target_n + 1, self.hot_keys)
+                hot_pick = hot_ids[rng.integers(0, self.hot_keys, n)]
+                use_hot = rng.random(n) < self.hot_fraction
+                uniform = np.where(use_hot, hot_pick, uniform)
+            return uniform.astype(np.int32)
+        lits = self.harvest.numeric.get(key)
+        if lits:
+            lo, hi = min(lits), max(lits)
+            span = max(hi - lo, 1)
+            return rng.integers(
+                int(lo - span), int(hi + span) + 1, n
+            ).astype(np.int32)
+        if column == "production_year":
+            return rng.integers(1880, 2026, n).astype(np.int32)
+        return rng.integers(0, 1000, n).astype(np.int32)
+
+    def _gen_varchar(self, rng, table: str, column: str, n: int) -> np.ndarray:
+        key = (table, column)
+        pool: List[bytes] = []
+        pool.extend(dict.fromkeys(self.harvest.eq.get(key, [])))
+        for pattern in dict.fromkeys(self.harvest.like.get(key, [])):
+            for _ in range(3):
+                pool.append(_instantiate_like(rng, pattern))
+        values = _random_strings(rng, n)
+        if pool:
+            pool_arr = np.empty(len(pool), dtype=object)
+            pool_arr[:] = pool
+            use_pool = rng.random(n) < 0.45
+            picks = rng.integers(0, len(pool), n)
+            idx = np.nonzero(use_pool)[0]
+            for i in idx:
+                values[i] = pool_arr[picks[i]]
+        return values
+
+    # -- tables ---------------------------------------------------------------
+
+    def generate_table(self, table: str) -> HostTable:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, zlib.crc32(table.encode())])
+        )
+        n = self.table_rows(table)
+        columns = []
+        for column, dtype in catalog.ATTRIBUTES[table]:
+            nf = self._null_fraction(table, column)
+            valid = rng.random(n) >= nf if nf > 0 else np.ones(n, dtype=bool)
+            if dtype is DataType.VARCHAR:
+                if table in _ENUM_TABLES and column == _ENUM_TABLES[table]:
+                    values = self._enum_values(table, column, n)
+                else:
+                    values = self._gen_varchar(rng, table, column, n)
+                values = values.copy()
+                values[~valid] = b""
+            else:
+                values = self._gen_int(rng, table, column, n)
+                values = values.copy()
+                values[~valid] = 0
+            columns.append(HostColumn(dtype, values, valid))
+        return HostTable(n, columns)
+
+    def _enum_values(self, table: str, column: str, n: int) -> np.ndarray:
+        pool = list(dict.fromkeys(self.harvest.eq.get((table, column), [])))
+        values = np.empty(n, dtype=object)
+        for i in range(n):
+            if i < len(pool):
+                values[i] = pool[i]
+            else:
+                values[i] = f"{column}_{i}".encode("latin-1")
+        return values
+
+    def generate(self, tables: Optional[List[str]] = None) -> Dict[str, HostTable]:
+        names = tables if tables is not None else sorted(catalog.ATTRIBUTES)
+        return {t: self.generate_table(t) for t in names}
+
+
+def load_job_queries(sql_dir: str, names: List[str]) -> List[str]:
+    out = []
+    for name in names:
+        with open(f"{sql_dir}/{name}.sql") as f:
+            out.append(f.read())
+    return out

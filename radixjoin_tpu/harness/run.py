@@ -1,0 +1,170 @@
+"""Benchmark / correctness driver (the reference's ``./build/run``).
+
+Loads ``plans.json`` (113 names + PostgreSQL EXPLAIN JSONs + sql_directory),
+builds each query's Plan via the SQL frontend + EXPLAIN converter, executes
+it on the engine, optionally verifies against the oracles, and reports
+per-query wall-clock exactly like the reference driver
+(tests/read_sql.cpp:1251-1333): timing covers ``execute()`` only.
+
+Data sources: a directory of IMDB-format CSVs, or a synthetic IMDB generated
+at a given scale (see harness/datagen.py).
+
+CLI:
+    python -m radixjoin_tpu.harness.run plans.json [query ...] \
+        [--data-dir imdb/ | --scale 0.001] [--verify] [--repeat N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Dict, List, Optional
+
+from ..engine import build_context, destroy_context, execute
+from ..sql import ParsedSQL, catalog, plan_from_explain
+from ..sql.frontend import TableEntity
+from ..storage import ingest
+from ..storage.columnar import ColumnarTable, HostTable
+from . import datagen, oracle
+
+
+class TableSource:
+    """Provides pre-filtered paged base tables to the plan converter."""
+
+    def __init__(
+        self,
+        host_tables: Optional[Dict[str, HostTable]] = None,
+        csv_dir: Optional[str] = None,
+    ):
+        if (host_tables is None) == (csv_dir is None):
+            raise ValueError("exactly one of host_tables / csv_dir required")
+        self.host_tables = host_tables
+        self.csv_dir = csv_dir
+        self._unfiltered_cache: Dict[str, ColumnarTable] = {}
+
+    def table(self, name: str) -> HostTable:
+        if self.host_tables is not None:
+            return self.host_tables[name]
+        types = catalog.column_types(name)
+        path = f"{self.csv_dir}/{name}.csv"
+        table = ingest._table_cache.get(path)
+        if table is None:
+            table = ingest.parse_csv(path, types)
+            ingest._table_cache[path] = table
+        return table
+
+    def provider(self, entity: TableEntity, attributes, filt) -> ColumnarTable:
+        name = entity.table
+        if filt is None:
+            cached = self._unfiltered_cache.get(name)
+            if cached is None:
+                cached = ColumnarTable.from_host(self.table(name))
+                self._unfiltered_cache[name] = cached
+            return cached.copy()
+        filtered = ingest.filter_table(self.table(name), filt)
+        return ColumnarTable.from_host(filtered)
+
+
+class JobHarness:
+    def __init__(self, plans_path: str, source: TableSource, sql_dir: Optional[str] = None):
+        with open(plans_path) as f:
+            doc = json.load(f)
+        self.names: List[str] = doc["names"]
+        self.plans = dict(zip(self.names, doc["plans"]))
+        self.sql_dir = sql_dir or doc.get("sql_directory", "job")
+        self.source = source
+        self.context = build_context()
+
+    def close(self):
+        destroy_context(self.context)
+
+    def sql(self, name: str) -> str:
+        with open(f"{self.sql_dir}/{name}.sql") as f:
+            return f.read()
+
+    def build_plan(self, name: str):
+        parsed = ParsedSQL(self.sql(name), name)
+        plan = plan_from_explain(
+            self.plans[name]["Plan"], parsed, self.source.provider
+        )
+        return parsed, plan
+
+    def run_query(self, name: str, verify: bool = False, sqlite_oracle=None):
+        parsed, plan = self.build_plan(name)
+        t0 = time.perf_counter()
+        result = execute(plan, self.context)
+        runtime_ms = (time.perf_counter() - t0) * 1e3
+        correct = None
+        detail = None
+        if verify:
+            actual = result.to_host().to_rows()
+            expected = oracle.execute_plan_rows(plan)
+            correct, detail = oracle.rows_equal(actual, expected)
+            if correct and sqlite_oracle is not None:
+                sql_rows = sqlite_oracle.query(parsed.executed_sql())
+                correct, detail = oracle.rows_equal(actual, sql_rows)
+                if not correct:
+                    detail = f"sqlite oracle mismatch: {detail}"
+        return result, runtime_ms, correct, detail
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("plans", help="path to plans.json")
+    parser.add_argument("queries", nargs="*", help="subset of query names")
+    parser.add_argument("--data-dir", help="directory of IMDB CSVs")
+    parser.add_argument("--sql-dir", help="directory of JOB .sql files")
+    parser.add_argument("--scale", type=float, default=None,
+                        help="generate synthetic IMDB at this scale instead")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--verify", action="store_true",
+                        help="check results against the row + sqlite oracles")
+    parser.add_argument("--repeat", type=int, default=1,
+                        help="re-run each query N times, report the minimum")
+    args = parser.parse_args(argv)
+
+    with open(args.plans) as f:
+        doc = json.load(f)
+    sql_dir = args.sql_dir or doc.get("sql_directory", "job")
+    names = args.queries or doc["names"]
+
+    if args.data_dir:
+        source = TableSource(csv_dir=args.data_dir)
+    else:
+        scale = args.scale if args.scale is not None else 0.001
+        queries = datagen.load_job_queries(sql_dir, doc["names"])
+        gen = datagen.SyntheticIMDB(scale=scale, seed=args.seed, queries=queries)
+        print(f"generating synthetic IMDB at scale {scale} ...", flush=True)
+        source = TableSource(host_tables=gen.generate())
+
+    sqlite_oracle = None
+    if args.verify and source.host_tables is not None:
+        print("loading sqlite oracle ...", flush=True)
+        sqlite_oracle = oracle.SqliteOracle(source.host_tables)
+
+    harness = JobHarness(args.plans, source, sql_dir)
+    total_ms = 0.0
+    all_ok = True
+    for name in names:
+        best = None
+        for _ in range(max(1, args.repeat)):
+            result, runtime_ms, correct, detail = harness.run_query(
+                name, verify=args.verify, sqlite_oracle=sqlite_oracle
+            )
+            best = runtime_ms if best is None else min(best, runtime_ms)
+        total_ms += best
+        status = ""
+        if args.verify:
+            status = f"  Result correct: {bool(correct)}"
+            if not correct:
+                all_ok = False
+                status += f"  ({detail})"
+        print(f"Query {name:>4}: {best:10.2f} ms  rows={result.num_rows}{status}")
+    print(f"Total: {total_ms:.2f} ms over {len(names)} queries")
+    harness.close()
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

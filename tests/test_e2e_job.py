@@ -1,0 +1,43 @@
+"""End-to-end JOB queries on synthetic IMDB vs two independent oracles.
+
+Mirrors the reference's integration strategy (every query cross-checked
+row-for-row against DuckDB, tests/read_sql.cpp:1224-1249) using (a) a
+row-at-a-time plan interpreter and (b) sqlite running the rewritten SQL.
+CI runs a representative subset; the full 113-query sweep runs in the
+benchmark harness.
+"""
+
+import json
+
+import pytest
+
+from radixjoin_tpu.harness import datagen, oracle
+from radixjoin_tpu.harness.run import JobHarness, TableSource
+
+PLANS = "/root/reference/plans.json"
+SQL_DIR = "/root/reference/job"
+
+# spans: simple pipelines, 2x-table occurrences (movie_link), complete_cast,
+# OR filters, IN lists, BETWEEN, IS NULL, big multi-join trees
+CI_QUERIES = ["1a", "2a", "3b", "5c", "8d", "10c", "11a", "16b", "17e", "21a", "29a", "32a"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    doc = json.load(open(PLANS))
+    queries = datagen.load_job_queries(SQL_DIR, doc["names"])
+    gen = datagen.SyntheticIMDB(scale=0.0004, seed=7, queries=queries)
+    tables = gen.generate()
+    source = TableSource(host_tables=tables)
+    harness = JobHarness(PLANS, source, SQL_DIR)
+    sqlite_oracle = oracle.SqliteOracle(tables)
+    return harness, sqlite_oracle
+
+
+@pytest.mark.parametrize("name", CI_QUERIES)
+def test_job_query(setup, name):
+    harness, sqlite_oracle = setup
+    result, runtime_ms, correct, detail = harness.run_query(
+        name, verify=True, sqlite_oracle=sqlite_oracle
+    )
+    assert correct, f"{name}: {detail}"
