@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: full 113-query JOB suite on synthetic IMDB, one device.
+
+Mirrors the reference's benchmark protocol (tests/read_sql.cpp:1251-1333):
+per-query timing covers ``execute()`` only (plan construction and base-table
+filtering excluded); the metric is the suite total. The real 1.2 GB IMDB
+dump is not available in this environment, so the suite runs on the
+literal-aware synthetic IMDB (harness/datagen.py) at BENCH_SCALE
+(default 0.01 = 1% of real row counts); the reference baseline of
+914,223 ms was measured on the full dataset on a 96-core Threadripper, so
+``vs_baseline`` is reported against a row-count-scaled baseline
+(baseline_total * scale) — an approximation, recorded for trend tracking.
+
+Env knobs: BENCH_SCALE, BENCH_QUERIES (comma list), BENCH_REPEAT.
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+PLANS = "/root/reference/plans.json"
+SQL_DIR = "/root/reference/job"
+BASELINE_TOTAL_MS = 914_223.0  # BASELINE.md: JOB 113-query total, 7995WX
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    scale = float(os.environ.get("BENCH_SCALE", "0.01"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+
+    from radixjoin_tpu.harness import datagen
+    from radixjoin_tpu.harness.run import JobHarness, TableSource
+
+    with open(PLANS) as f:
+        names_all = json.load(f)["names"]
+    names = names_all
+    if os.environ.get("BENCH_QUERIES"):
+        names = [n for n in os.environ["BENCH_QUERIES"].split(",") if n]
+
+    log(f"bench: devices={jax.devices()} scale={scale} queries={len(names)}")
+    t0 = time.perf_counter()
+    queries = datagen.load_job_queries(SQL_DIR, names_all)
+    gen = datagen.SyntheticIMDB(scale=scale, seed=0, queries=queries)
+    tables = gen.generate()
+    log(f"bench: synthetic IMDB generated in {time.perf_counter()-t0:.1f}s "
+        f"({sum(t.num_rows for t in tables.values())} rows)")
+
+    source = TableSource(host_tables=tables)
+    harness = JobHarness(PLANS, source, SQL_DIR)
+
+    # Pre-build plans once (filter eval + page encode are harness-side,
+    # excluded from timing like the reference's CSV/plan phase).
+    plans = {}
+    t0 = time.perf_counter()
+    for name in names:
+        plans[name] = harness.build_plan(name)[1]
+    log(f"bench: {len(names)} plans built in {time.perf_counter()-t0:.1f}s")
+
+    from radixjoin_tpu.engine import execute
+
+    total_rows = 0
+    per_query = {}
+    for it in range(max(1, repeat)):
+        t_iter = time.perf_counter()
+        for name in names:
+            t0 = time.perf_counter()
+            result = execute(plans[name], harness.context)
+            dt = (time.perf_counter() - t0) * 1e3
+            prev = per_query.get(name)
+            per_query[name] = dt if prev is None else min(prev, dt)
+            if it == 0:
+                total_rows += result.num_rows
+        log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s")
+
+    total_ms = sum(per_query.values())
+    scaled_baseline = BASELINE_TOTAL_MS * scale
+    result = {
+        "metric": f"job113_synthetic_sf{scale}_total_ms",
+        "value": round(total_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(scaled_baseline / total_ms, 3),
+        "detail": {
+            "queries": len(names),
+            "result_rows": int(total_rows),
+            "scaled_baseline_ms": round(scaled_baseline, 1),
+            "slowest": sorted(per_query.items(), key=lambda kv: -kv[1])[:5],
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,8 +55,7 @@ def pad_1d(arr: jnp.ndarray, size: int, fill=0) -> jnp.ndarray:
     return jnp.pad(arr, (0, size - arr.shape[0]), constant_values=fill)
 
 
-@jax.jit
-def join_count(
+def join_count_impl(
     build_keys: jnp.ndarray,
     build_valid: jnp.ndarray,
     probe_keys: jnp.ndarray,
@@ -99,8 +98,7 @@ def join_count(
     return perm, lo, counts, offsets, total
 
 
-@functools.partial(jax.jit, static_argnames=("s_pad",))
-def join_expand(
+def join_expand_impl(
     perm: jnp.ndarray,
     lo: jnp.ndarray,
     offsets: jnp.ndarray,
@@ -125,6 +123,10 @@ def join_expand(
     bidx = jnp.where(live, bidx, 0).astype(jnp.int32)
     pidx = jnp.where(live, pidx, 0).astype(jnp.int32)
     return bidx, pidx, live
+
+
+join_count = jax.jit(join_count_impl)
+join_expand = jax.jit(join_expand_impl, static_argnames=("s_pad",))
 
 
 @jax.jit

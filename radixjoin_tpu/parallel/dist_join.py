@@ -1,0 +1,263 @@
+"""Distributed hash-partitioned shuffle join over a device mesh.
+
+The multi-device generalization of the single-chip two-phase join
+(ops/join.py), SPMD via ``shard_map``:
+
+1. both sides live sharded along axis 0 over the 1-D mesh;
+2. **skew absorption**: keys detected as heavy hitters bypass the shuffle —
+   their build rows are replicated to every device (all_gather of a
+   capacity-bounded hot buffer) and their probe rows join locally on their
+   home device (broadcast-hot / partition-cold);
+3. **radix shuffle**: remaining rows exchange via the capacity-factor
+   all-to-all (shuffle.py) so each key lands on ``hash(key) mod ndev``;
+4. **local join**: every device runs the same sort + searchsorted
+   count/materialize kernels on its received partition;
+5. count-then-materialize across the mesh: phase A returns per-device match
+   totals (one host sync), the host picks one static output bucket, phase B
+   recomputes the shuffle and materializes each device's output shard.
+
+Capacity overflows (possible under adversarial skew) are counted, psum'd,
+and surfaced to the driver, which doubles the capacity factor and retries —
+results are always exact, never truncated silently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import Counter
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import join as join_ops
+from .mesh import SHARD_AXIS, make_mesh
+from . import shuffle as shuffle_ops
+
+
+@dataclasses.dataclass
+class DistJoinConfig:
+    capacity_factor: float = 2.0
+    hot_capacity_factor: float = 2.0
+    max_hot_keys: int = 16
+    hot_threshold: float = 0.25  # fraction of per-device probe capacity
+    sample_size: int = 65536
+    max_retries: int = 4
+
+
+def _pad_to_shards(arr: np.ndarray, ndev: int, fill=0):
+    n = arr.shape[0]
+    per = -(-max(n, 1) // ndev)
+    padded = np.full((per * ndev,), fill, dtype=arr.dtype)
+    padded[:n] = arr
+    return padded
+
+
+def _is_hot(keys: jnp.ndarray, hot_keys: jnp.ndarray, hot_valid: jnp.ndarray):
+    if hot_keys.shape[0] == 0:
+        return jnp.zeros(keys.shape, dtype=bool)
+    eq = keys[:, None] == hot_keys[None, :].astype(keys.dtype)
+    return jnp.any(eq & hot_valid[None, :], axis=1)
+
+
+def _gather_hot(keys, valid, payloads, hot_mask, hot_cap: int):
+    """Compact this device's hot rows into (hot_cap,) and all_gather them."""
+    n = keys.shape[0]
+    live = valid & hot_mask
+    iota = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.where(live, iota, n)
+    _, perm = jax.lax.sort((order, iota), num_keys=1)
+    rank = jnp.arange(n, dtype=jnp.int32)
+    in_cap = (rank < hot_cap) & live[perm]
+    idx = jnp.where(in_cap, rank, hot_cap)
+
+    def compact(values):
+        buf = jnp.zeros((hot_cap + 1,), dtype=values.dtype)
+        buf = buf.at[idx].set(values[perm], mode="drop")
+        return buf[:hot_cap]
+
+    ck = compact(keys)
+    cv = jnp.zeros((hot_cap + 1,), dtype=jnp.bool_).at[idx].set(in_cap, mode="drop")[:hot_cap]
+    cp = {k: compact(v) for k, v in payloads.items()}
+    overflow = jnp.maximum(jnp.sum(live) - hot_cap, 0)
+
+    gk = jax.lax.all_gather(ck, SHARD_AXIS, tiled=True)
+    gv = jax.lax.all_gather(cv, SHARD_AXIS, tiled=True)
+    gp = {k: jax.lax.all_gather(v, SHARD_AXIS, tiled=True) for k, v in cp.items()}
+    return gk, gv, gp, overflow
+
+
+def _assemble(
+    kb, vb, bpl, kp, vp, ppl, *, ndev, cap_b, cap_p, hot_cap, hot_keys, hot_valid
+):
+    """Per-device: shuffle cold rows + replicate hot build rows; returns the
+    combined (build, probe) arrays this device joins locally."""
+    hot_b = _is_hot(kb, hot_keys, hot_valid)
+    hot_p = _is_hot(kp, hot_keys, hot_valid)
+
+    rbk, rbv, rbp, ovf_b = shuffle_ops.shuffle(kb, vb, bpl, ndev, cap_b, keep=~hot_b)
+    rpk, rpv, rpp, ovf_p = shuffle_ops.shuffle(kp, vp, ppl, ndev, cap_p, keep=~hot_p)
+
+    if hot_keys.shape[0] > 0:
+        gbk, gbv, gbp, ovf_h = _gather_hot(kb, vb, bpl, hot_b, hot_cap)
+        ovf_h = jax.lax.psum(ovf_h, SHARD_AXIS)
+        jk = jnp.concatenate([rbk, gbk])
+        jv = jnp.concatenate([rbv, gbv])
+        jp = {k: jnp.concatenate([rbp[k], gbp[k]]) for k in rbp}
+        # hot probe rows stay home: append the local shard masked to hot
+        pk = jnp.concatenate([rpk, kp])
+        pv = jnp.concatenate([rpv, vp & hot_p])
+        pp = {k: jnp.concatenate([rpp[k], ppl[k]]) for k in rpp}
+    else:
+        ovf_h = jnp.zeros((), dtype=ovf_b.dtype)
+        jk, jv, jp = rbk, rbv, rbp
+        pk, pv, pp = rpk, rpv, rpp
+    overflow = ovf_b + ovf_p + ovf_h.astype(ovf_b.dtype)
+    return (jk, jv, jp), (pk, pv, pp), overflow
+
+
+def _count_phase(kb, vb, bpl, kp, vp, ppl, *, ndev, cap_b, cap_p, hot_cap, hot_keys, hot_valid):
+    (jk, jv, _), (pk, pv, _), overflow = _assemble(
+        kb, vb, bpl, kp, vp, ppl,
+        ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
+        hot_keys=hot_keys, hot_valid=hot_valid,
+    )
+    _, _, _, _, total = join_ops.join_count_impl(jk, jv, pk, pv)
+    return total[None], overflow[None]
+
+
+def _materialize_phase(
+    kb, vb, bpl, kp, vp, ppl,
+    *, ndev, cap_b, cap_p, hot_cap, hot_keys, hot_valid, s_pad
+):
+    (jk, jv, jp), (pk, pv, pp), _ = _assemble(
+        kb, vb, bpl, kp, vp, ppl,
+        ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
+        hot_keys=hot_keys, hot_valid=hot_valid,
+    )
+    perm, lo, _, offsets, total = join_ops.join_count_impl(jk, jv, pk, pv)
+    bidx, pidx, live = join_ops.join_expand_impl(perm, lo, offsets, total, s_pad)
+    out = {}
+    out["__build_key"] = jnp.where(live, jk[bidx], 0)
+    for name, values in jp.items():
+        out[f"b.{name}"] = jnp.where(live, values[bidx], 0)
+    for name, values in pp.items():
+        out[f"p.{name}"] = jnp.where(live, values[pidx], 0)
+    return out, live, total[None]
+
+
+def detect_hot_keys(
+    probe_keys: np.ndarray,
+    probe_valid: np.ndarray,
+    config: DistJoinConfig,
+    ndev: int,
+    cap_p: int,
+):
+    """Host-side heavy-hitter detection by sampling the probe side.
+
+    A key whose estimated per-mesh frequency would overwhelm its owner
+    device's shuffle capacity is routed through the broadcast path instead.
+    """
+    valid_keys = probe_keys[probe_valid]
+    n = len(valid_keys)
+    if n == 0:
+        return np.zeros(0, dtype=probe_keys.dtype), np.zeros(0, dtype=bool)
+    if n > config.sample_size:
+        rng = np.random.default_rng(0)
+        sample = valid_keys[rng.integers(0, n, config.sample_size)]
+        scale = n / config.sample_size
+    else:
+        sample, scale = valid_keys, 1.0
+    threshold = max(2.0, config.hot_threshold * cap_p / scale)
+    counts = Counter(sample.tolist())
+    hot = [k for k, c in counts.most_common(config.max_hot_keys) if c >= threshold]
+    hot_arr = np.asarray(hot, dtype=probe_keys.dtype)
+    return hot_arr, np.ones(len(hot), dtype=bool)
+
+
+def distributed_join(
+    build_keys: np.ndarray,
+    build_valid: np.ndarray,
+    build_payloads: Dict[str, np.ndarray],
+    probe_keys: np.ndarray,
+    probe_valid: np.ndarray,
+    probe_payloads: Dict[str, np.ndarray],
+    mesh=None,
+    config: Optional[DistJoinConfig] = None,
+):
+    """Exact distributed inner join. Returns (columns, live, totals) where
+    ``columns`` maps '__build_key' / 'b.*' / 'p.*' to mesh-sharded arrays of
+    shape (ndev*s_pad,), ``live`` flags real output rows, and ``totals`` is
+    the per-device match count."""
+    config = config or DistJoinConfig()
+    mesh = mesh or make_mesh()
+    ndev = mesh.devices.size
+
+    kb = _pad_to_shards(build_keys, ndev)
+    vb = _pad_to_shards(build_valid.astype(bool), ndev, fill=False)
+    kp = _pad_to_shards(probe_keys, ndev)
+    vp = _pad_to_shards(probe_valid.astype(bool), ndev, fill=False)
+    bpl = {k: _pad_to_shards(v, ndev) for k, v in build_payloads.items()}
+    ppl = {k: _pad_to_shards(v, ndev) for k, v in probe_payloads.items()}
+
+    bl = kb.shape[0] // ndev
+    pl = kp.shape[0] // ndev
+
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    put = functools.partial(jax.device_put, device=shard)
+    kb_d, vb_d, kp_d, vp_d = put(kb), put(vb), put(kp), put(vp)
+    bpl_d = {k: put(v) for k, v in bpl.items()}
+    ppl_d = {k: put(v) for k, v in ppl.items()}
+
+    cf = config.capacity_factor
+    for attempt in range(config.max_retries):
+        cap_b = max(16, int(cf * bl / ndev) + 1)
+        cap_p = max(16, int(cf * pl / ndev) + 1)
+        hot_cap = max(16, int(config.hot_capacity_factor * bl / ndev) + 1)
+        hot_keys, hot_valid = detect_hot_keys(kp, vp, config, ndev, cap_p)
+
+        kwargs = dict(
+            ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
+            hot_keys=jnp.asarray(hot_keys), hot_valid=jnp.asarray(hot_valid),
+        )
+        in_specs = (P(SHARD_AXIS),) * 2 + (
+            {k: P(SHARD_AXIS) for k in bpl_d},
+            P(SHARD_AXIS), P(SHARD_AXIS),
+            {k: P(SHARD_AXIS) for k in ppl_d},
+        )
+        count_fn = shard_map(
+            functools.partial(_count_phase, **kwargs),
+            mesh=mesh, in_specs=in_specs,
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+        )
+        totals, overflow = jax.jit(count_fn)(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d)
+        if int(np.max(np.asarray(overflow))) == 0:
+            break
+        cf *= 2.0
+    else:
+        raise RuntimeError("shuffle capacity overflow persisted after retries")
+
+    s_pad = join_ops.bucket_size(int(np.max(np.asarray(totals))))
+    out_specs = (
+        {name: P(SHARD_AXIS) for name in
+         ["__build_key"] + [f"b.{k}" for k in bpl_d] + [f"p.{k}" for k in ppl_d]},
+        P(SHARD_AXIS),
+        P(SHARD_AXIS),
+    )
+    mat_fn = shard_map(
+        functools.partial(_materialize_phase, s_pad=s_pad, **kwargs),
+        mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+    )
+    columns, live, totals = jax.jit(mat_fn)(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d)
+    return columns, live, totals
+
+
+def collect_to_host(columns, live) -> Dict[str, np.ndarray]:
+    """Concatenate the sharded output to dense host arrays (drops padding)."""
+    live_np = np.asarray(live)
+    return {k: np.asarray(v)[live_np] for k, v in columns.items()}

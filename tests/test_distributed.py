@@ -1,0 +1,114 @@
+"""Distributed shuffle join on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from radixjoin_tpu.parallel import DistJoinConfig, distributed_join, make_mesh
+from radixjoin_tpu.parallel.dist_join import collect_to_host
+
+
+def reference_join(bk, bv, bp, pk, pv, pp):
+    """Independent numpy nested-hash join for comparison."""
+    index = {}
+    for i in range(len(bk)):
+        if bv[i]:
+            index.setdefault(int(bk[i]), []).append(i)
+    rows = []
+    for j in range(len(pk)):
+        if not pv[j]:
+            continue
+        for i in index.get(int(pk[j]), ()):
+            rows.append(
+                (int(bk[i]),)
+                + tuple(int(v[i]) for v in bp.values())
+                + tuple(int(v[j]) for v in pp.values())
+            )
+    return sorted(rows)
+
+
+def run_and_compare(bk, bv, bp, pk, pv, pp, mesh, config=None):
+    columns, live, totals = distributed_join(
+        bk, bv, bp, pk, pv, pp, mesh=mesh, config=config
+    )
+    out = collect_to_host(columns, live)
+    names = (
+        ["__build_key"]
+        + [f"b.{k}" for k in bp]
+        + [f"p.{k}" for k in pp]
+    )
+    got = sorted(zip(*[out[n].tolist() for n in names]))
+    expected = reference_join(bk, bv, bp, pk, pv, pp)
+    assert got == expected
+    return int(np.asarray(live).sum())
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_distributed_join_basic(mesh):
+    rng = np.random.default_rng(0)
+    nb, np_ = 2000, 5000
+    bk = rng.integers(0, 1500, nb).astype(np.int64)
+    bv = rng.random(nb) > 0.05
+    pk = rng.integers(0, 3000, np_).astype(np.int64)
+    pv = rng.random(np_) > 0.05
+    bp = {"payload": rng.integers(0, 100, nb).astype(np.int32)}
+    pp = {"rowid": np.arange(np_, dtype=np.int32)}
+    total = run_and_compare(bk, bv, bp, pk, pv, pp, mesh)
+    assert total > 0
+
+
+def test_distributed_join_empty_sides(mesh):
+    bk = np.zeros(0, dtype=np.int64)
+    bv = np.zeros(0, dtype=bool)
+    pk = np.arange(100, dtype=np.int64)
+    pv = np.ones(100, dtype=bool)
+    total = run_and_compare(bk, bv, {}, pk, pv, {"r": pk.astype(np.int32)}, mesh)
+    assert total == 0
+
+
+def test_distributed_join_skewed_hot_key(mesh):
+    """One key carries 60% of the probe side — must route via the broadcast
+    path (or survive a capacity retry) and stay exact."""
+    rng = np.random.default_rng(1)
+    nb, np_ = 500, 20000
+    bk = np.arange(nb).astype(np.int64)
+    bv = np.ones(nb, dtype=bool)
+    pk = rng.integers(0, nb, np_).astype(np.int64)
+    hot = rng.random(np_) < 0.6
+    pk[hot] = 7
+    pv = np.ones(np_, dtype=bool)
+    bp = {"b": (bk * 10).astype(np.int64)}
+    pp = {"p": np.arange(np_, dtype=np.int64)}
+    total = run_and_compare(bk, bv, bp, pk, pv, pp, mesh)
+    assert total >= int(hot.sum())
+
+
+def test_distributed_join_duplicate_build_keys(mesh):
+    bk = np.array([5, 5, 5, 9], dtype=np.int64)
+    bv = np.ones(4, dtype=bool)
+    pk = np.array([5, 9, 9, 11], dtype=np.int64)
+    pv = np.ones(4, dtype=bool)
+    total = run_and_compare(
+        bk, bv, {"b": np.arange(4, dtype=np.int32)},
+        pk, pv, {"p": np.arange(4, dtype=np.int32)}, mesh
+    )
+    assert total == 5
+
+
+def test_distributed_matches_hot_and_cold_disjoint(mesh):
+    """Hot-path rows and cold-path rows must not double-count."""
+    rng = np.random.default_rng(3)
+    nb, np_ = 1000, 8000
+    bk = rng.integers(0, 200, nb).astype(np.int64)  # many duplicate build keys
+    bv = np.ones(nb, dtype=bool)
+    pk = rng.integers(0, 200, np_).astype(np.int64)
+    pk[: np_ // 2] = 13  # heavy hitter with many build duplicates
+    pv = np.ones(np_, dtype=bool)
+    config = DistJoinConfig(max_hot_keys=4)
+    run_and_compare(bk, bv, {}, pk, pv, {"p": np.arange(np_, dtype=np.int64)}, mesh, config)
