@@ -42,7 +42,15 @@ import jax.numpy as jnp
 from .dtypes import DataType
 from .ops import join as join_ops
 from .plan.ir import JoinNode, Plan, ScanNode
-from .storage.columnar import Column, ColumnarTable, HostColumn, HostTable
+from .storage import native
+from .storage.columnar import (
+    Column,
+    ColumnarTable,
+    HostColumn,
+    HostTable,
+    StringDict,
+    gather_varlen,
+)
 from .storage import page as page_codec
 
 _F64_SIGN = np.int64(np.int64(-2) ** 63)  # 0x8000000000000000
@@ -57,7 +65,7 @@ class DevColumn:
     dtype: DataType
     data: jnp.ndarray
     valid: jnp.ndarray
-    dictionary: Optional[np.ndarray] = None  # sorted bytes values (VARCHAR)
+    dictionary: Optional[StringDict] = None  # sorted distinct values (VARCHAR)
 
 
 @dataclasses.dataclass
@@ -99,13 +107,20 @@ def host_column_to_device(col: HostColumn, pad: int) -> DevColumn:
     valid = np.zeros(pad, dtype=bool)
     valid[:n] = col.valid
     if col.dtype is DataType.VARCHAR:
-        present = col.values[col.valid]
-        if len(present):
-            dictionary, inverse = np.unique(present, return_inverse=True)
-        else:
-            dictionary, inverse = np.empty(0, dtype=object), np.zeros(0, np.int64)
+        res = native.dict_encode(col.heap, col.ends, col.valid)
         ids = np.zeros(pad, dtype=np.int32)
-        ids[: n][col.valid] = inverse.astype(np.int32)
+        if res is not None:
+            row_ids, dheap, dends = res
+            ids[:n] = row_ids
+            dictionary = StringDict(dheap, dends)
+        else:
+            present = col.objects()[col.valid]
+            if len(present):
+                uniq, inverse = np.unique(present, return_inverse=True)
+            else:
+                uniq, inverse = np.empty(0, dtype=object), np.zeros(0, np.int64)
+            ids[:n][col.valid] = inverse.astype(np.int32)
+            dictionary = StringDict.from_objects(list(uniq))
         return DevColumn(col.dtype, jnp.asarray(ids), jnp.asarray(valid), dictionary)
     if col.dtype is DataType.FP64:
         bits = np.zeros(pad, dtype=np.int64)
@@ -120,12 +135,20 @@ def device_column_to_host(col: DevColumn, num_rows: int) -> HostColumn:
     data = np.asarray(col.data)[:num_rows]
     valid = np.asarray(col.valid)[:num_rows]
     if col.dtype is DataType.VARCHAR:
-        values = np.empty(num_rows, dtype=object)
-        values[:] = b""
-        if num_rows and len(col.dictionary):
-            ids = np.clip(data, 0, len(col.dictionary) - 1)
-            values[valid] = col.dictionary[ids[valid]]
-        return HostColumn(col.dtype, values, valid)
+        d = col.dictionary or StringDict.empty()
+        if num_rows == 0 or d.size == 0:
+            return HostColumn.varchar(
+                np.zeros(0, np.uint8),
+                np.zeros(num_rows, np.int64),
+                valid,
+            )
+        ids = np.clip(data, 0, d.size - 1)
+        dict_starts = d.starts
+        dict_lengths = d.lengths
+        starts = np.where(valid, dict_starts[ids], 0)
+        lengths = np.where(valid, dict_lengths[ids], 0)
+        heap, ends = gather_varlen(d.heap, starts, lengths)
+        return HostColumn.varchar(heap, ends, valid)
     if col.dtype is DataType.FP64:
         return HostColumn(col.dtype, data.view(np.float64), valid)
     return HostColumn(col.dtype, data, valid)
@@ -165,8 +188,8 @@ def _canonicalize_f64_key(data: jnp.ndarray, valid: jnp.ndarray):
 
 def _unify_dictionaries(a: DevColumn, b: DevColumn):
     """Map two dictionary-encoded columns onto one joint id space (exact)."""
-    da = a.dictionary if a.dictionary is not None else np.empty(0, dtype=object)
-    db = b.dictionary if b.dictionary is not None else np.empty(0, dtype=object)
+    da = a.dictionary.objects() if a.dictionary is not None else np.empty(0, object)
+    db = b.dictionary.objects() if b.dictionary is not None else np.empty(0, object)
     combined = np.concatenate([da, db]) if (len(da) or len(db)) else np.empty(0, object)
     if len(combined):
         _, inverse = np.unique(combined, return_inverse=True)
@@ -238,7 +261,7 @@ def _empty_result(output_attrs) -> DevTable:
                 dt,
                 jnp.zeros(pad, dtype=data_dtype),
                 jnp.zeros(pad, dtype=bool),
-                np.empty(0, dtype=object) if dt is DataType.VARCHAR else None,
+                StringDict.empty() if dt is DataType.VARCHAR else None,
             )
         )
     return DevTable(0, cols)
@@ -306,8 +329,11 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     """
     dev = execute_device(plan, context)
     host = device_table_to_host(dev)
-    cols = [
-        Column(c.dtype, page_codec.encode_column(c.values, c.valid, c.dtype))
-        for c in host.columns
-    ]
+    cols = []
+    for c in host.columns:
+        if c.dtype is DataType.VARCHAR:
+            pages = page_codec.encode_varchar_heap(c.heap, c.ends, c.valid)
+        else:
+            pages = page_codec.encode_fixed(c.values, c.valid, c.dtype)
+        cols.append(Column(c.dtype, pages))
     return ColumnarTable(host.num_rows, cols)

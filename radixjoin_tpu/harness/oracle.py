@@ -138,19 +138,22 @@ class SqliteOracle:
         cur.execute(f"CREATE TABLE {name} ({', '.join(decls)})")
         n = table.num_rows
         cols = table.columns
+        col_objs = [
+            c.objects() if c.dtype is DataType.VARCHAR else c.values for c in cols
+        ]
         placeholders = ", ".join(["?"] * len(cols))
         rows = []
         for i in range(n):
             row = []
-            for c in cols:
+            for c, vals in zip(cols, col_objs):
                 if not c.valid[i]:
                     row.append(None)
                 elif c.dtype is DataType.VARCHAR:
-                    row.append(bytes(c.values[i]).decode("latin-1"))
+                    row.append(bytes(vals[i]).decode("latin-1"))
                 elif c.dtype is DataType.FP64:
-                    row.append(float(c.values[i]))
+                    row.append(float(vals[i]))
                 else:
-                    row.append(int(c.values[i]))
+                    row.append(int(vals[i]))
             rows.append(tuple(row))
         cur.executemany(f"INSERT INTO {name} VALUES ({placeholders})", rows)
         self.conn.commit()

@@ -28,6 +28,7 @@ from typing import List, Optional, Union
 import numpy as np
 
 from ..dtypes import DataType, is_null
+from ..storage import native
 from ..storage.columnar import HostTable
 
 Literal = Union[int, float, bytes, None]
@@ -132,7 +133,7 @@ class Comparison(Statement):
         if self.op is Op.IS_NOT_NULL:
             return valid.copy()
         if col.dtype is DataType.VARCHAR:
-            return self._eval_varchar(col.values, valid)
+            return self._eval_varchar(col, valid)
         return self._eval_numeric(col, valid)
 
     def _eval_numeric(self, col, valid: np.ndarray) -> np.ndarray:
@@ -153,22 +154,31 @@ class Comparison(Statement):
         mask = _vector_cmp(self.op, lhs, rhs)
         return mask & valid
 
-    def _eval_varchar(self, values: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    def _eval_varchar(self, col, valid: np.ndarray) -> np.ndarray:
         n = len(valid)
         out = np.zeros(n, dtype=bool)
         if not isinstance(self.value, bytes):
             return out
-        idx = np.nonzero(valid)[0]
         if self.op in (Op.LIKE, Op.NOT_LIKE):
+            res = native.like(
+                col.heap, col.ends, valid, self.value, self.op is Op.NOT_LIKE
+            )
+            if res is not None:
+                return res
+            values = col.objects()
             rx = like_regex(self.value)
             want = self.op is Op.LIKE
-            for i in idx:
+            for i in np.nonzero(valid)[0]:
                 if (rx.match(values[i]) is not None) == want:
                     out[i] = True
             return out
+        res = native.str_compare(col.heap, col.ends, valid, self.value, self.op.name)
+        if res is not None:
+            return res
+        values = col.objects()
         lit = self.value
         op = self.op
-        for i in idx:
+        for i in np.nonzero(valid)[0]:
             if _scalar_cmp(op, values[i], lit):
                 out[i] = True
         return out

@@ -3,24 +3,169 @@
 ``ColumnarTable`` is the paged interchange format at the engine boundary
 (reference include/plan.h:54-105): inputs of a ``Plan`` and the result of
 ``execute`` are paged. ``HostTable`` is the dense in-memory form the engine
-actually computes on: one contiguous typed numpy array + validity mask per
-column (strings as object arrays of ``bytes``).
+computes on: one contiguous typed numpy array + validity mask per column.
+
+VARCHAR columns are stored as a **byte heap + per-row end offsets**
+(``ends[i]`` cumulative; NULL rows repeat the previous end) — never as
+Python object arrays on any hot path. This is the columnar dual of the
+reference's ``InnerColumn<std::string>`` (include/inner_column.h:327-335)
+and what the native kernels (storage/native) operate on. Object arrays of
+``bytes`` exist only at test/oracle boundaries via ``objects()``.
 
 Row-oriented helpers (``to_rows``/``from_rows``) exist only for tests and
 oracle comparison — the hot path never materializes rows (the reference's
-row-variant materialization is what made it allocator-bound, see
-SURVEY.md §3.2).
+row-variant materialization is what made it allocator-bound, SURVEY.md §3.2).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
 from ..dtypes import NULL, DataType, PAGE_SIZE, is_null
 from . import page as page_codec
+
+
+def gather_varlen(heap: np.ndarray, starts: np.ndarray, lengths: np.ndarray):
+    """Vectorized variable-length gather: returns (new_heap, new_ends)."""
+    lengths = lengths.astype(np.int64, copy=False)
+    total = int(lengths.sum())
+    new_ends = np.cumsum(lengths)
+    if total == 0:
+        return np.zeros(0, dtype=np.uint8), new_ends
+    out_starts = new_ends - lengths
+    nz = lengths > 0
+    src = (
+        np.repeat(starts[nz].astype(np.int64) - out_starts[nz], lengths[nz])
+        + np.arange(total, dtype=np.int64)
+    )
+    return heap[src], new_ends
+
+
+def objects_to_heap(values: Sequence, valid: np.ndarray):
+    """Object array / list of bytes -> (heap, ends)."""
+    n = len(valid)
+    lengths = np.zeros(n, dtype=np.int64)
+    chunks = []
+    for i in range(n):
+        if valid[i]:
+            v = values[i]
+            if isinstance(v, str):
+                v = v.encode("latin-1")
+            lengths[i] = len(v)
+            chunks.append(v)
+    heap = np.frombuffer(b"".join(chunks), dtype=np.uint8).copy() if chunks else np.zeros(0, np.uint8)
+    return heap, np.cumsum(lengths)
+
+
+def heap_to_objects(heap: np.ndarray, ends: np.ndarray, valid: np.ndarray):
+    out = np.empty(len(valid), dtype=object)
+    out[:] = b""
+    raw = heap.tobytes()
+    prev = 0
+    for i in range(len(valid)):
+        end = int(ends[i])
+        if valid[i]:
+            out[i] = raw[prev:end]
+        prev = end
+    return out
+
+
+@dataclasses.dataclass
+class StringDict:
+    """Sorted distinct string values (dictionary for device-side VARCHAR)."""
+
+    heap: np.ndarray
+    ends: np.ndarray  # int64, cumulative; len == dictionary size
+
+    _objects: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    @property
+    def size(self) -> int:
+        return len(self.ends)
+
+    @property
+    def starts(self) -> np.ndarray:
+        return self.ends - self.lengths
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.ends, prepend=0)
+
+    def objects(self) -> np.ndarray:
+        if self._objects is None:
+            self._objects = heap_to_objects(
+                self.heap, self.ends, np.ones(self.size, dtype=bool)
+            )
+        return self._objects
+
+    @staticmethod
+    def empty() -> "StringDict":
+        return StringDict(np.zeros(0, np.uint8), np.zeros(0, np.int64))
+
+    @staticmethod
+    def from_objects(values: Sequence) -> "StringDict":
+        heap, ends = objects_to_heap(values, np.ones(len(values), dtype=bool))
+        d = StringDict(heap, ends)
+        arr = np.empty(len(values), dtype=object)
+        arr[:] = [v if isinstance(v, bytes) else v.encode("latin-1") for v in values]
+        d._objects = arr
+        return d
+
+
+@dataclasses.dataclass
+class HostColumn:
+    """One dense host column.
+
+    Fixed-width: ``values`` typed array (+ ``valid``). VARCHAR: ``heap`` +
+    ``ends`` (+ ``valid``); ``values`` is a lazy object-array cache.
+    """
+
+    dtype: DataType
+    values: Optional[np.ndarray]
+    valid: np.ndarray
+    heap: Optional[np.ndarray] = None
+    ends: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.dtype is DataType.VARCHAR and self.heap is None:
+            # accept object-array input; canonicalize to heap form
+            self.heap, self.ends = objects_to_heap(self.values, self.valid)
+            self.values = None
+
+    def __len__(self) -> int:
+        return len(self.valid)
+
+    @staticmethod
+    def varchar(heap: np.ndarray, ends: np.ndarray, valid: np.ndarray) -> "HostColumn":
+        return HostColumn(DataType.VARCHAR, None, valid, heap=heap, ends=ends)
+
+    def objects(self) -> np.ndarray:
+        """Object array of bytes (oracle/test boundary only)."""
+        assert self.dtype is DataType.VARCHAR
+        if self.values is None:
+            self.values = heap_to_objects(self.heap, self.ends, self.valid)
+        return self.values
+
+    @property
+    def starts(self) -> np.ndarray:
+        return self.ends - self.lengths
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.ends, prepend=0)
+
+    def take(self, indices: np.ndarray) -> "HostColumn":
+        if self.dtype is not DataType.VARCHAR:
+            return HostColumn(self.dtype, self.values[indices], self.valid[indices])
+        starts = self.starts[indices]
+        lengths = self.lengths[indices]
+        heap, ends = gather_varlen(self.heap, starts, lengths)
+        return HostColumn.varchar(heap, ends, self.valid[indices])
 
 
 @dataclasses.dataclass
@@ -51,31 +196,27 @@ class ColumnarTable:
 
     @staticmethod
     def from_host(table: "HostTable") -> "ColumnarTable":
-        cols = [
-            Column(c.dtype, page_codec.encode_column(c.values, c.valid, c.dtype))
-            for c in table.columns
-        ]
+        cols = []
+        for c in table.columns:
+            if c.dtype is DataType.VARCHAR:
+                pages = page_codec.encode_varchar_heap(c.heap, c.ends, c.valid)
+            else:
+                pages = page_codec.encode_fixed(c.values, c.valid, c.dtype)
+            cols.append(Column(c.dtype, pages))
         return ColumnarTable(table.num_rows, cols)
 
     def to_host(self) -> "HostTable":
         cols = []
         for c in self.columns:
-            values, valid = page_codec.decode_column(c.pages, self.num_rows, c.type)
-            cols.append(HostColumn(c.type, values, valid))
+            if c.type is DataType.VARCHAR:
+                heap, ends, valid = page_codec.decode_varchar_heap(
+                    c.pages, self.num_rows
+                )
+                cols.append(HostColumn.varchar(heap, ends, valid))
+            else:
+                values, valid = page_codec.decode_fixed(c.pages, self.num_rows, c.type)
+                cols.append(HostColumn(c.type, values, valid))
         return HostTable(self.num_rows, cols)
-
-
-@dataclasses.dataclass
-class HostColumn:
-    dtype: DataType
-    values: np.ndarray  # typed array; object array of bytes for VARCHAR
-    valid: np.ndarray  # bool
-
-    def __len__(self) -> int:
-        return len(self.valid)
-
-    def take(self, indices: np.ndarray) -> "HostColumn":
-        return HostColumn(self.dtype, self.values[indices], self.valid[indices])
 
 
 @dataclasses.dataclass
@@ -102,7 +243,8 @@ class HostTable:
                     v = row[j]
                     if not is_null(v):
                         valid[i] = True
-                        values[i] = v.encode() if isinstance(v, str) else bytes(v)
+                        values[i] = v.encode("latin-1") if isinstance(v, str) else bytes(v)
+                cols.append(HostColumn(DataType.VARCHAR, values, valid))
             else:
                 values = np.zeros(n, dtype=dt.numpy_dtype)
                 for i, row in enumerate(rows):
@@ -110,44 +252,33 @@ class HostTable:
                     if not is_null(v):
                         valid[i] = True
                         values[i] = v
-            cols.append(HostColumn(DataType(dt), values, valid))
+                cols.append(HostColumn(DataType(dt), values, valid))
         return HostTable(n, cols)
 
     def to_rows(self) -> List[tuple]:
+        cols = []
+        for c in self.columns:
+            if c.dtype is DataType.VARCHAR:
+                cols.append(c.objects())
+            else:
+                cols.append(c.values)
         out = []
         for i in range(self.num_rows):
             row = []
-            for c in self.columns:
+            for c, vals in zip(self.columns, cols):
                 if not c.valid[i]:
                     row.append(NULL)
                 elif c.dtype is DataType.VARCHAR:
-                    row.append(bytes(c.values[i]))
+                    row.append(bytes(vals[i]))
                 elif c.dtype is DataType.FP64:
-                    row.append(float(c.values[i]))
+                    row.append(float(vals[i]))
                 else:
-                    row.append(int(c.values[i]))
+                    row.append(int(vals[i]))
             out.append(tuple(row))
         return out
 
     def type_signature(self) -> List[DataType]:
         return [c.dtype for c in self.columns]
-
-
-def sort_key(row: tuple):
-    """Total order over test rows: NULL sorts last within a column.
-
-    (Order is irrelevant for multiset comparison; a fixed one makes diffs
-    stable.)
-    """
-    key = []
-    for v in row:
-        if is_null(v):
-            key.append((1, b""))
-        elif isinstance(v, bytes):
-            key.append((0, v))
-        else:
-            key.append((0, v))
-    return key
 
 
 def sorted_rows(rows: List[tuple]) -> List[tuple]:

@@ -22,6 +22,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..dtypes import DataType
+from . import native
 from .columnar import Column, ColumnarTable, HostColumn, HostTable
 from . import page as page_codec
 
@@ -40,6 +41,20 @@ def clear_caches() -> None:
 
 def parse_csv(path: str, types: Sequence[DataType]) -> HostTable:
     """Parse a whole CSV file into a dense HostTable (empty field = NULL)."""
+    res = native.parse_csv(str(path), [int(t) for t in types])
+    if res is not None:
+        nrows, cols_raw = res
+        columns = []
+        for dt, parsed in zip(types, cols_raw):
+            if parsed[0] == "varchar":
+                _, heap, ends, valid = parsed
+                columns.append(HostColumn.varchar(heap, ends, valid))
+            else:
+                _, raw, valid = parsed
+                columns.append(
+                    HostColumn(DataType(dt), raw.view(dt.numpy_dtype), valid)
+                )
+        return HostTable(nrows, columns)
     ncols = len(types)
     raw_cols: List[List] = [[] for _ in range(ncols)]
     with open(path, "r", encoding="latin-1", newline="") as f:
@@ -104,27 +119,33 @@ def from_csv(
     return encoded
 
 
+def _csv_field(value: bytes) -> bytes:
+    """Encode one field in the reference dialect: quote when the field
+    contains a separator/quote/newline/backslash; inside quotes, escape
+    '"' and '\\' with a backslash (escape is only meaningful inside quotes,
+    reference src/csv_parser.cpp:143-156)."""
+    if any(c in value for c in (b",", b'"', b"\n", b"\r", b"\\")):
+        return b'"' + value.replace(b"\\", b"\\\\").replace(b'"', b'\\"') + b'"'
+    return value
+
+
 def write_csv(path: str, table: HostTable) -> None:
     """Emit a HostTable as a reference-dialect CSV (for fixtures/benchmarks)."""
-    with open(path, "w", encoding="latin-1", newline="") as f:
-        writer = csv.writer(
-            f,
-            delimiter=",",
-            quotechar='"',
-            escapechar="\\",
-            doublequote=False,
-            quoting=csv.QUOTE_MINIMAL,
-            lineterminator="\n",
-        )
+    varchar_objs = {
+        j: c.objects()
+        for j, c in enumerate(table.columns)
+        if c.dtype is DataType.VARCHAR
+    }
+    with open(path, "wb") as f:
         for i in range(table.num_rows):
             row = []
-            for c in table.columns:
+            for j, c in enumerate(table.columns):
                 if not c.valid[i]:
-                    row.append("")
+                    row.append(b"")
                 elif c.dtype is DataType.VARCHAR:
-                    row.append(bytes(c.values[i]).decode("latin-1"))
+                    row.append(_csv_field(bytes(varchar_objs[j][i])))
                 elif c.dtype is DataType.FP64:
-                    row.append(repr(float(c.values[i])))
+                    row.append(repr(float(c.values[i])).encode())
                 else:
-                    row.append(str(int(c.values[i])))
-            writer.writerow(row)
+                    row.append(str(int(c.values[i])).encode())
+            f.write(b",".join(row) + b"\n")

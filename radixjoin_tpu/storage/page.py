@@ -42,6 +42,7 @@ from ..dtypes import (
     MAX_INLINE_STRING,
     PAGE_SIZE,
 )
+from . import native
 
 # Max num_rows for a VARCHAR page: must stay clear of the 0xfffe/0xffff
 # long-string markers.
@@ -83,6 +84,10 @@ def encode_fixed(
     """
     size = dtype.fixed_size
     db = dtype.page_data_begin
+    values = np.ascontiguousarray(values, dtype=dtype.numpy_dtype)
+    native_pages = native.encode_fixed(values, valid, size, db)
+    if native_pages is not None:
+        return native_pages
     n = len(valid)
     values = np.ascontiguousarray(values, dtype=dtype.numpy_dtype)
     valid = np.asarray(valid, dtype=bool)
@@ -131,6 +136,10 @@ def decode_fixed(pages: np.ndarray, num_rows: int, dtype: DataType):
     """
     size = dtype.fixed_size
     db = dtype.page_data_begin
+    res = native.decode_fixed(pages, num_rows, size, db)
+    if res is not None:
+        raw, valid = res
+        return raw.view(dtype.numpy_dtype), valid
     values = np.zeros(num_rows, dtype=dtype.numpy_dtype)
     valid = np.zeros(num_rows, dtype=bool)
     row = 0
@@ -286,6 +295,33 @@ def decode_varchar(pages: np.ndarray, num_rows: int):
     if row != num_rows:
         raise ValueError(f"decoded {row} rows, expected {num_rows}")
     return values, valid
+
+
+# ---------------------------------------------------------------------------
+# Heap-form VARCHAR codec (canonical hot path; native with python fallback)
+# ---------------------------------------------------------------------------
+
+
+def encode_varchar_heap(
+    heap: np.ndarray, ends: np.ndarray, valid: np.ndarray
+) -> np.ndarray:
+    native_pages = native.encode_varchar(heap, ends, valid)
+    if native_pages is not None:
+        return native_pages
+    from .columnar import heap_to_objects  # local import to avoid a cycle
+
+    return encode_varchar(heap_to_objects(heap, ends, valid), valid)
+
+
+def decode_varchar_heap(pages: np.ndarray, num_rows: int):
+    res = native.decode_varchar(pages, num_rows)
+    if res is not None:
+        return res
+    from .columnar import objects_to_heap
+
+    values, valid = decode_varchar(pages, num_rows)
+    heap, ends = objects_to_heap(values, valid)
+    return heap, ends, valid
 
 
 # ---------------------------------------------------------------------------
