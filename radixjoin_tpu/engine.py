@@ -37,6 +37,7 @@ from typing import List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .dtypes import DataType
@@ -322,13 +323,185 @@ def execute_device(plan: Plan, context: Optional[Context] = None) -> DevTable:
     return results[plan.root]
 
 
+# ---------------------------------------------------------------------------
+# Fused whole-plan execution (one H2D, one program, one D2H per query)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("n",))
+def _slice_columns(arrays, n: int):
+    return tuple(a[:n] for a in arrays)
+
+
+def _pack_inputs(plan: Plan, structure):
+    """Decode used base tables and pack every projected column into one
+    uint8 buffer (single H2D). Returns (buffer, dicts_by_packed_col)."""
+    from .plan import compiler as pc
+
+    buf = np.zeros(structure.buffer_size, dtype=np.uint8)
+    dicts: dict = {}
+    host_cache: dict = {}
+    seen: set = set()
+    for idx, spec in structure.scan_specs.items():
+        node = plan.nodes[idx]
+        input_id = node.data.base_table_id
+        if input_id not in host_cache:
+            host_cache[input_id] = plan.inputs[input_id].to_host()
+        host = host_cache[input_id]
+        for (col_idx, dt), cid in zip(node.output_attrs, spec.cols):
+            if cid in seen:
+                continue
+            seen.add(cid)
+            cspec = structure.col_specs[cid]
+            col = host.columns[col_idx]
+            n = len(col.valid)
+            if dt is DataType.VARCHAR:
+                res = native.dict_encode(col.heap, col.ends, col.valid)
+                if res is not None:
+                    ids, dheap, dends = res
+                    dicts[cid] = StringDict(dheap, dends)
+                else:
+                    present = col.objects()[col.valid]
+                    if len(present):
+                        uniq, inverse = np.unique(present, return_inverse=True)
+                    else:
+                        uniq, inverse = np.empty(0, object), np.zeros(0, np.int64)
+                    ids = np.zeros(n, dtype=np.int32)
+                    ids[col.valid] = inverse.astype(np.int32)
+                    dicts[cid] = StringDict.from_objects(list(uniq))
+                values8 = ids.view(np.uint8)
+            elif dt is DataType.FP64:
+                values8 = col.values.view(np.uint8)
+            else:
+                values8 = np.ascontiguousarray(
+                    col.values, dtype=dt.numpy_dtype
+                ).view(np.uint8)
+            vo = cspec.values_offset
+            buf[vo : vo + n * cspec.esize] = values8[: n * cspec.esize]
+            bo = cspec.valid_offset
+            buf[bo : bo + n] = col.valid.view(np.uint8)
+    return buf, dicts
+
+
+def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
+    from .plan import compiler as pc
+
+    buckets: dict = {}
+    root_node = plan.nodes[plan.root]
+    for _attempt in range(len(plan.nodes) + 2):
+        structure = pc.PlanStructure(plan, buckets)
+        if structure.has_varchar_key:
+            return None  # caller falls back to the stepwise engine
+        fn = pc.compile_structure(structure)
+        buf, dicts = _pack_inputs(plan, structure)
+        out_values_dev, out_valid_dev, totals_dev = fn(jnp.asarray(buf))
+        # Every D2H round trip costs ~30 ms of link latency. Small padded
+        # outputs ride along with the totals in ONE fetch; large ones are
+        # sliced on device to the exact result bucket first (second fetch).
+        out_bytes = sum(
+            int(a.shape[0]) * a.dtype.itemsize for a in out_values_dev
+        ) + sum(int(a.shape[0]) for a in out_valid_dev)
+        prefetched = None
+        if out_bytes <= (4 << 20):
+            totals, prefetched = jax.device_get(
+                (totals_dev, (out_values_dev, out_valid_dev))
+            )
+        else:
+            totals = jax.device_get(totals_dev)
+
+        # exactness check: a join's total is trustworthy iff no descendant
+        # join overflowed its bucket
+        join_order = structure.join_order
+        exact: dict = {}
+        overflow = False
+        children_exact: dict = {}
+        for j, node_id in enumerate(join_order):
+            spec = structure.join_specs[node_id]
+            deps_ok = all(
+                exact.get(d, True)
+                for d in (spec.left, spec.right)
+            )
+            fits = int(totals[j]) <= spec.out_pad
+            exact[node_id] = deps_ok and fits
+            if deps_ok and not fits:
+                buckets[node_id] = join_ops.bucket_size(int(totals[j]))
+                overflow = True
+            elif not deps_ok:
+                buckets[node_id] = max(
+                    buckets.get(node_id, spec.out_pad) * 2, spec.out_pad * 2
+                )
+                overflow = True
+            else:
+                buckets[node_id] = join_ops.bucket_size(int(totals[j]))
+        if overflow:
+            continue
+
+        if isinstance(root_node.data, ScanNode):
+            root_total = plan.inputs[root_node.data.base_table_id].num_rows
+        else:
+            root_total = int(totals[join_order.index(plan.root)])
+
+        if prefetched is not None:
+            out_values, out_valid = prefetched
+        elif root_total == 0:
+            n_cols = len(root_node.output_attrs)
+            out_values = [np.zeros(0, np.int64)] * n_cols
+            out_valid = [np.zeros(0, bool)] * n_cols
+        else:
+            fetch_pad = min(
+                join_ops.bucket_size(root_total),
+                int(out_values_dev[0].shape[0]) if out_values_dev else 0,
+            )
+            sliced = _slice_columns(
+                tuple(out_values_dev) + tuple(out_valid_dev), fetch_pad
+            )
+            fetched = jax.device_get(sliced)
+            k = len(out_values_dev)
+            out_values, out_valid = fetched[:k], fetched[k:]
+
+        sources = structure.col_sources[plan.root]
+        cols: List[HostColumn] = []
+        for k, (ci, dt) in enumerate(root_node.output_attrs):
+            values = out_values[k][:root_total]
+            valid = out_valid[k][:root_total]
+            if dt is DataType.VARCHAR:
+                d = dicts.get(sources[k], StringDict.empty())
+                if root_total == 0 or d.size == 0:
+                    cols.append(
+                        HostColumn.varchar(
+                            np.zeros(0, np.uint8),
+                            np.zeros(root_total, np.int64),
+                            valid,
+                        )
+                    )
+                else:
+                    ids = np.clip(values, 0, d.size - 1)
+                    starts = np.where(valid, d.starts[ids], 0)
+                    lengths = np.where(valid, d.lengths[ids], 0)
+                    heap, ends = gather_varlen(d.heap, starts, lengths)
+                    cols.append(HostColumn.varchar(heap, ends, valid))
+            elif dt is DataType.FP64:
+                cols.append(HostColumn(dt, values.view(np.float64), valid))
+            else:
+                cols.append(HostColumn(dt, values, valid))
+        return HostTable(root_total, cols)
+    raise RuntimeError("fused plan did not converge to exact buckets")
+
+
 def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     """Evaluate ``plan`` and encode the result as a paged ColumnarTable.
 
     Equivalent to the reference ``Contest::execute`` (src/execute.cpp:316-324).
+    Uses the fused whole-plan program when possible; falls back to the
+    stepwise device engine for VARCHAR join keys.
     """
-    dev = execute_device(plan, context)
-    host = device_table_to_host(dev)
+    plan.validate()
+    host = _execute_fused(plan, context)
+    if host is None:
+        dev = execute_device(plan, context)
+        host = device_table_to_host(dev)
     cols = []
     for c in host.columns:
         if c.dtype is DataType.VARCHAR:

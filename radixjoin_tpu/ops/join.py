@@ -88,8 +88,14 @@ def join_count_impl(
     pos = jnp.arange(bp, dtype=jnp.int64)
     maxval = jnp.array(jnp.iinfo(build_keys.dtype).max, dtype=build_keys.dtype)
     keys_search = jnp.where(pos < nvalid, keys_sorted, maxval)
-    lo = jnp.searchsorted(keys_search, probe_keys, side="left").astype(jnp.int64)
-    hi = jnp.searchsorted(keys_search, probe_keys, side="right").astype(jnp.int64)
+    # sort-based searchsorted: on TPU a co-sort is ~8x faster than the
+    # log2(B) rounds of gathers a binary search lowers to
+    lo = jnp.searchsorted(
+        keys_search, probe_keys, side="left", method="sort"
+    ).astype(jnp.int64)
+    hi = jnp.searchsorted(
+        keys_search, probe_keys, side="right", method="sort"
+    ).astype(jnp.int64)
     lo = jnp.minimum(lo, nvalid)
     hi = jnp.minimum(hi, nvalid)
     counts = jnp.where(probe_valid, hi - lo, 0)
@@ -112,10 +118,19 @@ def join_expand_impl(
     successor; the last index of an equal-offset run is the one with
     matches). ``within = j - offsets[i]`` selects the duplicate, and
     ``perm[lo[i] + within]`` maps back to the original build row id.
+
+    The owner lookup is a segmented broadcast: scatter each emitting probe's
+    id at its output start, then a running max fills its run — two cheap
+    vector ops instead of a per-slot binary search (TPU gathers are slow).
     """
+    pp = offsets.shape[0]
+    counts_nonzero = jnp.diff(jnp.append(offsets, total)) > 0
+    starts = jnp.where(counts_nonzero, offsets, s_pad)
+    marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
+    marker = marker.at[starts].max(jnp.arange(pp, dtype=jnp.int32), mode="drop")
+    pidx = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
+    pidx = jnp.clip(pidx, 0, pp - 1).astype(jnp.int64)
     j = jnp.arange(s_pad, dtype=jnp.int64)
-    pidx = jnp.searchsorted(offsets, j, side="right") - 1
-    pidx = jnp.clip(pidx, 0, offsets.shape[0] - 1)
     within = j - offsets[pidx]
     bpos = jnp.clip(lo[pidx] + within, 0, perm.shape[0] - 1)
     bidx = perm[bpos]
