@@ -385,13 +385,37 @@ def _pack_inputs(plan: Plan, structure):
     return buf, dicts
 
 
+def _detect_unique_joins(plan: Plan) -> frozenset:
+    """Join nodes whose build side is a scan column with verified-unique
+    valid keys (FK->PK). The root is excluded: unique-join output is
+    probe-shaped/uncompacted, and the result extraction slices the root to
+    ``[:total]`` which assumes compacted rows."""
+    unique = set()
+    for idx, node in enumerate(plan.nodes):
+        if idx == plan.root or not isinstance(node.data, JoinNode):
+            continue
+        j = node.data
+        build_child = plan.nodes[j.left if j.build_left else j.right]
+        if not isinstance(build_child.data, ScanNode):
+            continue
+        battr = j.left_attr if j.build_left else j.right_attr
+        col_idx, dt = build_child.output_attrs[battr]
+        if dt not in (DataType.INT32, DataType.INT64):
+            continue
+        host = plan.inputs[build_child.data.base_table_id].to_host()
+        if host.columns[col_idx].is_unique_key():
+            unique.add(idx)
+    return frozenset(unique)
+
+
 def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
     from .plan import compiler as pc
 
     buckets: dict = {}
     root_node = plan.nodes[plan.root]
+    unique_joins = _detect_unique_joins(plan)
     for _attempt in range(len(plan.nodes) + 2):
-        structure = pc.PlanStructure(plan, buckets)
+        structure = pc.PlanStructure(plan, buckets, unique_joins)
         if structure.has_varchar_key:
             return None  # caller falls back to the stepwise engine
         fn = pc.compile_structure(structure)
@@ -490,15 +514,157 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
     raise RuntimeError("fused plan did not converge to exact buckets")
 
 
+# ---------------------------------------------------------------------------
+# Host-staged multi-pass radix execution (inputs exceed device HBM budget)
+# ---------------------------------------------------------------------------
+
+
+def _host_normalize_keys(b: HostColumn, p: HostColumn):
+    """Comparable (key, valid) numpy pairs, or None on a type mismatch
+    (same semantics as :func:`normalize_join_keys`, host side)."""
+    if b.dtype is not p.dtype:
+        return None
+    if b.dtype is DataType.VARCHAR:
+        bo = np.where(b.valid, b.objects(), b"")
+        po = np.where(p.valid, p.objects(), b"")
+        _, inverse = np.unique(np.concatenate([bo, po]), return_inverse=True)
+        return (
+            (inverse[: len(bo)].astype(np.int64), b.valid),
+            (inverse[len(bo):].astype(np.int64), p.valid),
+        )
+    if b.dtype is DataType.FP64:
+        def canon(col):
+            bits = col.values.view(np.int64)
+            canonized = np.where(bits == _F64_SIGN, np.int64(0), bits)
+            return canonized, col.valid & ~np.isnan(col.values)
+        return canon(b), canon(p)
+    return (b.values, b.valid), (p.values, p.valid)
+
+
+def _empty_host_table(output_attrs) -> HostTable:
+    cols = []
+    for _, dt in output_attrs:
+        if dt is DataType.VARCHAR:
+            cols.append(HostColumn.varchar(
+                np.zeros(0, np.uint8), np.zeros(0, np.int64), np.zeros(0, bool)
+            ))
+        else:
+            cols.append(HostColumn(
+                dt, np.zeros(0, dt.numpy_dtype), np.zeros(0, bool)
+            ))
+    return HostTable(0, cols)
+
+
+def _execute_host_partitioned(
+    plan: Plan, budget_bytes: Optional[int] = None
+) -> HostTable:
+    """Out-of-HBM executor: tables stay host-resident; every join streams
+    hash partitions through the device pair by pair (ops/radix.py), and
+    materialization is a host-side ``take`` at the surviving row pairs.
+
+    This is the multi-pass generalization of the reference's single L2
+    radix pass (src/execute.cpp:86-92) to the host-RAM/HBM tier split.
+    """
+    from .ops import radix
+
+    results: dict = {}
+    for idx in plan.topo_order():
+        node = plan.nodes[idx]
+        if isinstance(node.data, ScanNode):
+            host = plan.inputs[node.data.base_table_id].to_host()
+            cols = []
+            for ci, dt in node.output_attrs:
+                col = host.columns[ci]
+                if col.dtype is not dt:
+                    raise TypeError(
+                        f"scan output attr {ci}: declared {dt}, stored {col.dtype}"
+                    )
+                cols.append(col)
+            results[idx] = HostTable(host.num_rows, cols)
+            continue
+
+        j = node.data
+        left, right = results[j.left], results[j.right]
+        if left.num_rows == 0 or right.num_rows == 0:
+            results[idx] = _empty_host_table(node.output_attrs)
+            continue
+        if j.build_left:
+            build, probe = left, right
+            battr, pattr = j.left_attr, j.right_attr
+        else:
+            build, probe = right, left
+            battr, pattr = j.right_attr, j.left_attr
+        keys = _host_normalize_keys(build.columns[battr], probe.columns[pattr])
+        if keys is None:
+            results[idx] = _empty_host_table(node.output_attrs)
+            continue
+        (kb, vb), (kp, vp) = keys
+        bidx, pidx = radix.partitioned_join_indices(
+            kb, vb, kp, vp, budget_bytes=budget_bytes
+        )
+        lidx = bidx if j.build_left else pidx
+        ridx = pidx if j.build_left else bidx
+        left_w = len(left.columns)
+        cols = []
+        for ci, dt in node.output_attrs:
+            src, sel = (left.columns[ci], lidx) if ci < left_w else (
+                right.columns[ci - left_w], ridx
+            )
+            cols.append(src.take(sel))
+        results[idx] = HostTable(len(lidx), cols)
+    return results[plan.root]
+
+
+def _estimate_device_bytes(plan: Plan) -> int:
+    """Padded device footprint of all scan inputs (pow2 pad, values+valid)."""
+    total = 0
+    for node in plan.nodes:
+        if not isinstance(node.data, ScanNode):
+            continue
+        table = plan.inputs[node.data.base_table_id]
+        pad = join_ops.bucket_size(table.num_rows)
+        for _, dt in node.output_attrs:
+            esize = 4 if dt in (DataType.INT32, DataType.VARCHAR) else 8
+            total += pad * (esize + 1)
+    return total
+
+
 def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     """Evaluate ``plan`` and encode the result as a paged ColumnarTable.
 
     Equivalent to the reference ``Contest::execute`` (src/execute.cpp:316-324).
-    Uses the fused whole-plan program when possible; falls back to the
-    stepwise device engine for VARCHAR join keys.
+    Uses the fused whole-plan program when the working set fits the device
+    HBM budget; spills to the host-staged multi-pass radix executor when it
+    does not; falls back to the stepwise device engine for VARCHAR join
+    keys.
     """
+    import os
+
     plan.validate()
-    host = _execute_fused(plan, context)
+    env_budget = os.environ.get("RJT_HBM_BUDGET_BYTES")
+    if env_budget:
+        budget = int(env_budget)
+    else:
+        from . import hardware
+
+        budget = hardware.detect().hbm_bytes // 2
+
+    mode = os.environ.get("RJT_EXEC_MODE", "auto")
+    host = None
+    if _estimate_device_bytes(plan) > budget:
+        # working set exceeds device HBM: host-staged multi-pass radix
+        host = _execute_host_partitioned(plan, budget_bytes=budget // 8)
+    elif mode == "fused":
+        # one fused XLA program per query: best steady-state latency for a
+        # small, stable query set; compile-bound on heterogeneous suites
+        host = _execute_fused(plan, context)
+    elif mode == "stepwise":
+        host = device_table_to_host(execute_device(plan, context))
+    else:
+        # default: shape-shared per-operator kernels, reused across queries
+        from .plan import executor
+
+        host = executor.execute_shared(plan, _detect_unique_joins(plan))
     if host is None:
         dev = execute_device(plan, context)
         host = device_table_to_host(dev)

@@ -140,6 +140,48 @@ def join_expand_impl(
     return bidx, pidx, live
 
 
+def join_unique_impl(
+    build_keys: jnp.ndarray,
+    build_valid: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    probe_valid: jnp.ndarray,
+):
+    """FK->PK fast path: build keys are pairwise distinct among valid rows.
+
+    With a unique build side every probe row matches at most once, so the
+    whole count/offsets/expansion machinery (and its host sync for the
+    output bucket) is statically unnecessary: the output stays
+    **probe-shaped** — row j of the output corresponds to probe row j, with
+    ``found[j]`` False for non-matching rows. Callers thread ``found`` into
+    the validity masks; dead rows can never match or emit downstream.
+
+    Returns ``(bidx, found, total)``: build row id per probe row (0 where
+    not found), the match mask, and the exact match count.
+    """
+    bp = build_keys.shape[0]
+    invalid = (~build_valid).astype(jnp.uint8)
+    iota = jnp.arange(bp, dtype=jnp.int32)
+    _, keys_sorted, perm = jax.lax.sort(
+        (invalid, build_keys, iota), num_keys=2
+    )
+    nvalid = jnp.sum(build_valid.astype(jnp.int64))
+    pos = jnp.arange(bp, dtype=jnp.int64)
+    maxval = jnp.array(jnp.iinfo(build_keys.dtype).max, dtype=build_keys.dtype)
+    keys_search = jnp.where(pos < nvalid, keys_sorted, maxval)
+    lo = jnp.searchsorted(
+        keys_search, probe_keys, side="left", method="sort"
+    ).astype(jnp.int64)
+    lo_c = jnp.minimum(lo, bp - 1)
+    found = (
+        probe_valid
+        & (lo < nvalid)
+        & (keys_search[lo_c] == probe_keys)
+    )
+    bidx = jnp.where(found, perm[lo_c], 0).astype(jnp.int32)
+    total = jnp.sum(found.astype(jnp.int64))
+    return bidx, found, total
+
+
 join_count = jax.jit(join_count_impl)
 join_expand = jax.jit(join_expand_impl, static_argnames=("s_pad",))
 

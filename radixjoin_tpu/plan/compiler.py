@@ -74,6 +74,9 @@ class _JoinSpec:
     out_pad: int
     # output attr -> (side 0=left/1=right, column index in that child)
     out_cols: Tuple[Tuple[int, int], ...]
+    # build keys verified pairwise-distinct (FK->PK): output stays
+    # probe-shaped, no expansion, can never overflow its bucket
+    unique_build: bool = False
 
 
 def _device_esize(dt: DataType) -> int:
@@ -91,8 +94,14 @@ class PlanStructure:
     bucket(num_rows).
     """
 
-    def __init__(self, plan: Plan, buckets: Dict[int, int]):
+    def __init__(
+        self,
+        plan: Plan,
+        buckets: Dict[int, int],
+        unique_joins: Optional[frozenset] = None,
+    ):
         self.plan = plan
+        self.unique_joins = unique_joins or frozenset()
         self.order = plan.topo_order()
         self.col_specs: List[_ColSpec] = []
         self.scan_specs: Dict[int, _ScanSpec] = {}
@@ -140,10 +149,20 @@ class PlanStructure:
                 if key_dtype is DataType.VARCHAR:
                     self.has_varchar_key = True
                 probe_child = j.right if j.build_left else j.left
-                out_pad = self.buckets.get(idx)
-                if out_pad is None:
+                unique = (
+                    idx in self.unique_joins
+                    and key_dtype in (DataType.INT32, DataType.INT64)
+                )
+                if unique:
+                    # probe-shaped output: the bucket is pinned to the probe
+                    # child's pad and can never overflow (<=1 match per row)
                     out_pad = pads[probe_child]
                     self.buckets[idx] = out_pad
+                else:
+                    out_pad = self.buckets.get(idx)
+                    if out_pad is None:
+                        out_pad = pads[probe_child]
+                        self.buckets[idx] = out_pad
                 pads[idx] = out_pad
                 out_cols = tuple(
                     (0, ci) if ci < left_w else (1, ci - left_w)
@@ -151,7 +170,7 @@ class PlanStructure:
                 )
                 self.join_specs[idx] = _JoinSpec(
                     idx, j.build_left, j.left, j.right, j.left_attr, j.right_attr,
-                    key_dtype, out_pad, out_cols,
+                    key_dtype, out_pad, out_cols, unique,
                 )
                 self.col_sources[idx] = tuple(
                     self.col_sources[j.left][ci]
@@ -172,7 +191,11 @@ class PlanStructure:
         )
         joins = tuple(
             dataclasses.astuple(self.join_specs[i])[:7]
-            + (self.join_specs[i].out_pad, self.join_specs[i].out_cols)
+            + (
+                self.join_specs[i].out_pad,
+                self.join_specs[i].out_cols,
+                self.join_specs[i].unique_build,
+            )
             for i in self.join_order
         )
         root_attrs = tuple(
@@ -246,10 +269,19 @@ def _trace_plan(structure: PlanStructure, buf):
             kb, vb = _normalize_key(kb, vb, spec.key_dtype)
             kp, vp = _normalize_key(kp, vp, spec.key_dtype)
 
-        perm, lo, _counts, offsets, total = join_ops.join_count_impl(kb, vb, kp, vp)
-        bidx, pidx, live = join_ops.join_expand_impl(
-            perm, lo, offsets, total, spec.out_pad
-        )
+        if spec.unique_build:
+            # FK->PK: <=1 match per probe row; the output keeps the probe
+            # side's shape and order, probe columns pass through untouched
+            # (no gather), and there is no expansion or overflow retry.
+            bidx, live, total = join_ops.join_unique_impl(kb, vb, kp, vp)
+            pidx = None  # identity
+        else:
+            perm, lo, _counts, offsets, total = join_ops.join_count_impl(
+                kb, vb, kp, vp
+            )
+            bidx, pidx, live = join_ops.join_expand_impl(
+                perm, lo, offsets, total, spec.out_pad
+            )
         totals.append(total)
 
         lidx = bidx if spec.build_left else pidx
@@ -261,10 +293,13 @@ def _trace_plan(structure: PlanStructure, buf):
             if key not in gathered:
                 src_vals, src_valid = (left if side == 0 else right)[ci]
                 idx_arr = lidx if side == 0 else ridx
-                gathered[key] = (
-                    src_vals[idx_arr],
-                    src_valid[idx_arr] & live,
-                )
+                if idx_arr is None:  # unique path: probe side passes through
+                    gathered[key] = (src_vals, src_valid & live)
+                else:
+                    gathered[key] = (
+                        src_vals[idx_arr],
+                        src_valid[idx_arr] & live,
+                    )
             out_cols.append(gathered[key])
         tables[idx] = out_cols
 

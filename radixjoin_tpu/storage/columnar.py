@@ -130,6 +130,35 @@ class HostColumn:
     valid: np.ndarray
     heap: Optional[np.ndarray] = None
     ends: Optional[np.ndarray] = None
+    #: memo for is_unique_key (None = not yet computed)
+    _unique: Optional[bool] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    def is_unique_key(self, max_check_rows: int = 1 << 22) -> bool:
+        """True iff all *valid* values are pairwise distinct.
+
+        Used to pick the FK->PK join fast path (a unique build side makes
+        duplicate expansion statically unnecessary). Sorted columns (the
+        common primary-key layout) are detected in O(n); otherwise falls
+        back to ``np.unique`` for columns up to ``max_check_rows`` and
+        conservatively reports False beyond that. The result is memoized on
+        the column, so shared/cached tables pay the check once.
+        """
+        if self._unique is None:
+            if self.dtype is DataType.VARCHAR:
+                self._unique = False  # fast path is int-key only
+            else:
+                vals = self.values[self.valid]
+                if len(vals) <= 1:
+                    self._unique = True
+                elif bool(np.all(vals[1:] > vals[:-1])):
+                    self._unique = True  # strictly increasing => distinct
+                elif len(vals) > max_check_rows:
+                    self._unique = False  # too big to check; be conservative
+                else:
+                    self._unique = len(np.unique(vals)) == len(vals)
+        return self._unique
 
     def __post_init__(self):
         if self.dtype is DataType.VARCHAR and self.heap is None:
@@ -185,11 +214,19 @@ class Column:
 class ColumnarTable:
     num_rows: int = 0
     columns: List[Column] = dataclasses.field(default_factory=list)
+    #: decoded-form memo; engine treats host tables as immutable. Mirrors
+    #: the reference harness's unfiltered-result cache (build_table.cpp:91-92)
+    #: at the table level: page decode runs once per distinct table, not
+    #: once per query.
+    _host: Optional["HostTable"] = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     def copy(self) -> "ColumnarTable":
         return ColumnarTable(
             self.num_rows,
             [Column(c.type, c.pages.copy()) for c in self.columns],
+            _host=self._host,  # pages are copied bit-identical
         )
 
     # -- conversions ---------------------------------------------------------
@@ -203,9 +240,11 @@ class ColumnarTable:
             else:
                 pages = page_codec.encode_fixed(c.values, c.valid, c.dtype)
             cols.append(Column(c.dtype, pages))
-        return ColumnarTable(table.num_rows, cols)
+        return ColumnarTable(table.num_rows, cols, _host=table)
 
     def to_host(self) -> "HostTable":
+        if self._host is not None:
+            return self._host
         cols = []
         for c in self.columns:
             if c.type is DataType.VARCHAR:
@@ -216,7 +255,8 @@ class ColumnarTable:
             else:
                 values, valid = page_codec.decode_fixed(c.pages, self.num_rows, c.type)
                 cols.append(HostColumn(c.type, values, valid))
-        return HostTable(self.num_rows, cols)
+        self._host = HostTable(self.num_rows, cols)
+        return self._host
 
 
 @dataclasses.dataclass

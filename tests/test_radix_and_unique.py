@@ -1,0 +1,181 @@
+"""Tests: multi-pass radix partitioned join + FK->PK unique-build fast path."""
+
+import numpy as np
+import pytest
+
+from radixjoin_tpu.dtypes import DataType
+from radixjoin_tpu.ops import radix
+from radixjoin_tpu.plan.ir import Plan
+from radixjoin_tpu.storage.columnar import ColumnarTable, HostColumn, HostTable
+from radixjoin_tpu import engine
+
+
+def ref_join(bk, bv, pk, pv):
+    """Host-reference inner join: list of (build_row, probe_row)."""
+    index = {}
+    for i, (k, v) in enumerate(zip(bk, bv)):
+        if v:
+            index.setdefault(int(k), []).append(i)
+    out = []
+    for j, (k, v) in enumerate(zip(pk, pv)):
+        if v:
+            for i in index.get(int(k), ()):
+                out.append((i, j))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("num_partitions", [1, 4, 16])
+def test_partitioned_join_exact(num_partitions):
+    rng = np.random.default_rng(7)
+    nb, npr = 500, 3000
+    bk = rng.integers(0, 300, nb).astype(np.int64)
+    bv = rng.random(nb) > 0.1
+    pk = rng.integers(0, 400, npr).astype(np.int64)
+    pv = rng.random(npr) > 0.1
+    out = radix.partitioned_join(
+        bk, bv, {"row": np.arange(nb, dtype=np.int64)},
+        pk, pv, {"row": np.arange(npr, dtype=np.int64)},
+        num_partitions=num_partitions,
+    )
+    got = sorted(zip(out["b.row"].tolist(), out["p.row"].tolist()))
+    assert got == ref_join(bk, bv, pk, pv)
+
+
+def test_partitioned_join_empty_and_skew():
+    # all probe rows hit one hot key -> one partition takes everything
+    bk = np.array([5, 9], dtype=np.int64)
+    bv = np.ones(2, bool)
+    pk = np.full(1000, 5, dtype=np.int64)
+    pv = np.ones(1000, bool)
+    out = radix.partitioned_join(
+        bk, bv, {"r": np.arange(2, dtype=np.int64)},
+        pk, pv, {"r": np.arange(1000, dtype=np.int64)},
+        num_partitions=8,
+    )
+    assert len(out["p.r"]) == 1000
+    assert (out["b.r"] == 0).all()
+
+    # empty inputs
+    out = radix.partitioned_join(
+        np.zeros(0, np.int64), np.zeros(0, bool), {"r": np.zeros(0, np.int64)},
+        pk, pv, {"r": np.arange(1000, dtype=np.int64)},
+        num_partitions=4,
+    )
+    assert len(out["b.r"]) == 0 and len(out["p.r"]) == 0
+
+
+def test_choose_num_partitions_budget():
+    # 1M+1M rows at 16B with a 4MiB budget -> needs >=8 partitions
+    p = radix.choose_num_partitions(1 << 20, 1 << 20, 16, budget_bytes=4 << 20)
+    assert p >= 8 and (p & (p - 1)) == 0
+    assert radix.choose_num_partitions(10, 10, 16, budget_bytes=1 << 30) == 1
+
+
+def _make_table(cols):
+    host = HostTable(len(cols[0][1]), [
+        HostColumn(dt, np.asarray(vals, dtype=dt.numpy_dtype), np.asarray(valid))
+        for dt, vals, valid in cols
+    ])
+    return ColumnarTable.from_host(host)
+
+
+def _fk_pk_plan(unique_pk=True):
+    """dim(pk unique) join fact(fk) with a second join on top so the
+    unique join is non-root (the fast path excludes the root)."""
+    plan = Plan()
+    pk_vals = [1, 2, 3, 4, 5] if unique_pk else [1, 2, 2, 4, 5]
+    dim = _make_table([
+        (DataType.INT32, pk_vals, [True] * 5),
+        (DataType.INT64, [10, 20, 30, 40, 50], [True] * 5),
+    ])
+    fact = _make_table([
+        (DataType.INT32, [2, 2, 3, 7, 1, 2], [True, True, True, True, False, True]),
+        (DataType.INT32, [100, 101, 102, 103, 104, 105], [True] * 6),
+    ])
+    top = _make_table([
+        (DataType.INT32, [100, 102, 105, 105], [True] * 4),
+    ])
+    t_dim = plan.new_input(dim)
+    t_fact = plan.new_input(fact)
+    t_top = plan.new_input(top)
+    s_dim = plan.new_scan_node(t_dim, [(0, DataType.INT32), (1, DataType.INT64)])
+    s_fact = plan.new_scan_node(t_fact, [(0, DataType.INT32), (1, DataType.INT32)])
+    s_top = plan.new_scan_node(t_top, [(0, DataType.INT32)])
+    # join1: build dim (unique pk), probe fact on fk
+    j1 = plan.new_join_node(
+        True, s_dim, s_fact, 0, 0,
+        [(1, DataType.INT64), (3, DataType.INT32)],  # dim.val, fact.tag
+    )
+    # join2 (root): top.tag = j1.tag
+    j2 = plan.new_join_node(
+        False, j1, s_top, 1, 0,
+        [(0, DataType.INT64), (1, DataType.INT32)],
+    )
+    plan.root = j2
+    return plan
+
+
+@pytest.mark.parametrize("unique_pk", [True, False])
+def test_fused_unique_fast_path_matches(unique_pk):
+    plan = _fk_pk_plan(unique_pk)
+    detected = engine._detect_unique_joins(plan)
+    if unique_pk:
+        assert len(detected) == 1  # join1 eligible, root excluded
+    else:
+        assert len(detected) == 0
+
+    result = engine.execute(plan)
+    host = result.to_host()
+    rows = sorted(
+        (int(host.columns[0].values[i]), int(host.columns[1].values[i]))
+        for i in range(host.num_rows)
+    )
+    # expected: fact rows with fk in dim (valid only), then tag joined to top
+    # pk values map to dim.val; duplicate pk 2 fans out when not unique
+    vals = {1: [10], 2: [20], 3: [30], 4: [40], 5: [50]} if unique_pk else \
+           {1: [10], 2: [20, 30], 4: [40], 5: [50]}
+    fact_rows = [(2, 100), (2, 101), (3, 102), (2, 105)]  # valid (fk, tag)
+    j1 = [(v, tag) for fk, tag in fact_rows for v in vals.get(fk, [])]
+    expected = [
+        (val, tag) for val, tag in j1 for t in [100, 102, 105, 105] if t == tag
+    ]
+    assert rows == sorted(expected)
+
+
+def test_host_partitioned_executor_matches_fused(monkeypatch):
+    """Force the out-of-HBM path with a tiny budget; result must be
+    row-identical (as a multiset) to the fused device path."""
+    plan = _fk_pk_plan(unique_pk=False)
+    normal = engine.execute(plan).to_host()
+    monkeypatch.setenv("RJT_HBM_BUDGET_BYTES", "1")  # everything "oversized"
+    spilled = engine.execute(plan).to_host()
+
+    def rows(host):
+        return sorted(
+            tuple(
+                (None if not host.columns[c].valid[i]
+                 else host.columns[c].values[i].item())
+                for c in range(len(host.columns))
+            )
+            for i in range(host.num_rows)
+        )
+
+    assert spilled.num_rows == normal.num_rows
+    assert rows(spilled) == rows(normal)
+
+
+def test_unique_key_memo():
+    col = HostColumn(DataType.INT32, np.array([3, 1, 2], np.int32),
+                     np.ones(3, bool))
+    assert col.is_unique_key()
+    dup = HostColumn(DataType.INT32, np.array([3, 1, 3], np.int32),
+                     np.ones(3, bool))
+    assert not dup.is_unique_key()
+    # NULL rows may repeat values without breaking uniqueness
+    nulls = HostColumn(DataType.INT32, np.array([3, 3, 2], np.int32),
+                       np.array([True, False, True]))
+    assert nulls.is_unique_key()
+    # sorted-detection shortcut
+    sorted_col = HostColumn(DataType.INT64, np.arange(100, dtype=np.int64),
+                            np.ones(100, bool))
+    assert sorted_col.is_unique_key()
