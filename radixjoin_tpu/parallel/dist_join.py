@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from collections import Counter
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -121,7 +120,7 @@ def _assemble(
     return (jk, jv, jp), (pk, pv, pp), overflow
 
 
-def _count_phase(kb, vb, bpl, kp, vp, ppl, *, ndev, cap_b, cap_p, hot_cap, hot_keys, hot_valid):
+def _count_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev, cap_b, cap_p, hot_cap):
     (jk, jv, _), (pk, pv, _), overflow = _assemble(
         kb, vb, bpl, kp, vp, ppl,
         ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
@@ -132,8 +131,8 @@ def _count_phase(kb, vb, bpl, kp, vp, ppl, *, ndev, cap_b, cap_p, hot_cap, hot_k
 
 
 def _materialize_phase(
-    kb, vb, bpl, kp, vp, ppl,
-    *, ndev, cap_b, cap_p, hot_cap, hot_keys, hot_valid, s_pad
+    kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid,
+    *, ndev, cap_b, cap_p, hot_cap, s_pad
 ):
     (jk, jv, jp), (pk, pv, pp), _ = _assemble(
         kb, vb, bpl, kp, vp, ppl,
@@ -174,10 +173,110 @@ def detect_hot_keys(
     else:
         sample, scale = valid_keys, 1.0
     threshold = max(2.0, config.hot_threshold * cap_p / scale)
-    counts = Counter(sample.tolist())
-    hot = [k for k, c in counts.most_common(config.max_hot_keys) if c >= threshold]
-    hot_arr = np.asarray(hot, dtype=probe_keys.dtype)
-    return hot_arr, np.ones(len(hot), dtype=bool)
+    uniq, counts = np.unique(sample, return_counts=True)
+    top = np.argsort(-counts)[: config.max_hot_keys]
+    top = top[counts[top] >= threshold]
+    hot_arr = uniq[top].astype(probe_keys.dtype)
+    return hot_arr, np.ones(len(hot_arr), dtype=bool)
+
+
+# compiled phase cache: rebuilding jit(shard_map(...)) per call would
+# recompile every invocation; phases are cached by their static config
+# (hot keys flow in as traced, replicated arguments)
+_PHASE_CACHE: Dict[tuple, object] = {}
+
+
+def _phase_fn(
+    phase: str, mesh, ndev, cap_b, cap_p, hot_cap,
+    bnames: tuple, pnames: tuple, s_pad: Optional[int] = None,
+):
+    key = (phase, id(mesh), ndev, cap_b, cap_p, hot_cap, bnames, pnames, s_pad)
+    fn = _PHASE_CACHE.get(key)
+    if fn is not None:
+        return fn
+    in_specs = (P(SHARD_AXIS),) * 2 + (
+        {k: P(SHARD_AXIS) for k in bnames},
+        P(SHARD_AXIS), P(SHARD_AXIS),
+        {k: P(SHARD_AXIS) for k in pnames},
+        P(), P(),  # hot_keys / hot_valid replicated
+    )
+    kwargs = dict(ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap)
+    if phase == "count":
+        body = functools.partial(_count_phase, **kwargs)
+        out_specs = (P(SHARD_AXIS), P(SHARD_AXIS))
+    else:
+        body = functools.partial(_materialize_phase, s_pad=s_pad, **kwargs)
+        out_specs = (
+            {name: P(SHARD_AXIS) for name in
+             ["__build_key"] + [f"b.{k}" for k in bnames]
+             + [f"p.{k}" for k in pnames]},
+            P(SHARD_AXIS),
+            P(SHARD_AXIS),
+        )
+    fn = jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs))
+    _PHASE_CACHE[key] = fn
+    return fn
+
+
+def shard_inputs(
+    mesh,
+    build_keys, build_valid, build_payloads,
+    probe_keys, probe_valid, probe_payloads,
+):
+    """Host -> mesh-sharded device arrays (pad to a shard multiple)."""
+    ndev = mesh.devices.size
+    kb = _pad_to_shards(build_keys, ndev)
+    vb = _pad_to_shards(build_valid.astype(bool), ndev, fill=False)
+    kp = _pad_to_shards(probe_keys, ndev)
+    vp = _pad_to_shards(probe_valid.astype(bool), ndev, fill=False)
+    bpl = {k: _pad_to_shards(v, ndev) for k, v in build_payloads.items()}
+    ppl = {k: _pad_to_shards(v, ndev) for k, v in probe_payloads.items()}
+    shard = NamedSharding(mesh, P(SHARD_AXIS))
+    put = functools.partial(jax.device_put, device=shard)
+    return (
+        put(kb), put(vb), {k: put(v) for k, v in bpl.items()},
+        put(kp), put(vp), {k: put(v) for k, v in ppl.items()},
+    )
+
+
+def distributed_join_device(
+    kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d,
+    mesh,
+    hot_keys: np.ndarray,
+    hot_valid: np.ndarray,
+    config: Optional[DistJoinConfig] = None,
+):
+    """Run the two SPMD phases on already-sharded device arrays."""
+    config = config or DistJoinConfig()
+    ndev = mesh.devices.size
+    bl = kb_d.shape[0] // ndev
+    pl = kp_d.shape[0] // ndev
+    bnames = tuple(bpl_d)
+    pnames = tuple(ppl_d)
+    hk = jnp.asarray(hot_keys)
+    hv = jnp.asarray(hot_valid)
+
+    cf = config.capacity_factor
+    for _attempt in range(config.max_retries):
+        cap_b = max(16, int(cf * bl / ndev) + 1)
+        cap_p = max(16, int(cf * pl / ndev) + 1)
+        hot_cap = max(16, int(config.hot_capacity_factor * bl / ndev) + 1)
+        count_fn = _phase_fn(
+            "count", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames
+        )
+        totals, overflow = count_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
+        if int(np.max(np.asarray(overflow))) == 0:
+            break
+        cf *= 2.0
+    else:
+        raise RuntimeError("shuffle capacity overflow persisted after retries")
+
+    s_pad = join_ops.bucket_size(int(np.max(np.asarray(totals))))
+    mat_fn = _phase_fn(
+        "materialize", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames, s_pad
+    )
+    columns, live, totals = mat_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
+    return columns, live, totals
 
 
 def distributed_join(
@@ -198,63 +297,20 @@ def distributed_join(
     mesh = mesh or make_mesh()
     ndev = mesh.devices.size
 
-    kb = _pad_to_shards(build_keys, ndev)
-    vb = _pad_to_shards(build_valid.astype(bool), ndev, fill=False)
-    kp = _pad_to_shards(probe_keys, ndev)
-    vp = _pad_to_shards(probe_valid.astype(bool), ndev, fill=False)
-    bpl = {k: _pad_to_shards(v, ndev) for k, v in build_payloads.items()}
-    ppl = {k: _pad_to_shards(v, ndev) for k, v in probe_payloads.items()}
-
-    bl = kb.shape[0] // ndev
-    pl = kp.shape[0] // ndev
-
-    shard = NamedSharding(mesh, P(SHARD_AXIS))
-    put = functools.partial(jax.device_put, device=shard)
-    kb_d, vb_d, kp_d, vp_d = put(kb), put(vb), put(kp), put(vp)
-    bpl_d = {k: put(v) for k, v in bpl.items()}
-    ppl_d = {k: put(v) for k, v in ppl.items()}
-
-    cf = config.capacity_factor
-    for attempt in range(config.max_retries):
-        cap_b = max(16, int(cf * bl / ndev) + 1)
-        cap_p = max(16, int(cf * pl / ndev) + 1)
-        hot_cap = max(16, int(config.hot_capacity_factor * bl / ndev) + 1)
-        hot_keys, hot_valid = detect_hot_keys(kp, vp, config, ndev, cap_p)
-
-        kwargs = dict(
-            ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
-            hot_keys=jnp.asarray(hot_keys), hot_valid=jnp.asarray(hot_valid),
-        )
-        in_specs = (P(SHARD_AXIS),) * 2 + (
-            {k: P(SHARD_AXIS) for k in bpl_d},
-            P(SHARD_AXIS), P(SHARD_AXIS),
-            {k: P(SHARD_AXIS) for k in ppl_d},
-        )
-        count_fn = shard_map(
-            functools.partial(_count_phase, **kwargs),
-            mesh=mesh, in_specs=in_specs,
-            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-        )
-        totals, overflow = jax.jit(count_fn)(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d)
-        if int(np.max(np.asarray(overflow))) == 0:
-            break
-        cf *= 2.0
-    else:
-        raise RuntimeError("shuffle capacity overflow persisted after retries")
-
-    s_pad = join_ops.bucket_size(int(np.max(np.asarray(totals))))
-    out_specs = (
-        {name: P(SHARD_AXIS) for name in
-         ["__build_key"] + [f"b.{k}" for k in bpl_d] + [f"p.{k}" for k in ppl_d]},
-        P(SHARD_AXIS),
-        P(SHARD_AXIS),
+    kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d = shard_inputs(
+        mesh, build_keys, build_valid, build_payloads,
+        probe_keys, probe_valid, probe_payloads,
     )
-    mat_fn = shard_map(
-        functools.partial(_materialize_phase, s_pad=s_pad, **kwargs),
-        mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+    pl = kp_d.shape[0] // ndev
+    cap_p = max(16, int(config.capacity_factor * pl / ndev) + 1)
+    hot_keys, hot_valid = detect_hot_keys(
+        np.asarray(_pad_to_shards(probe_keys, ndev)),
+        np.asarray(_pad_to_shards(probe_valid.astype(bool), ndev, fill=False)),
+        config, ndev, cap_p,
     )
-    columns, live, totals = jax.jit(mat_fn)(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d)
-    return columns, live, totals
+    return distributed_join_device(
+        kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, mesh, hot_keys, hot_valid, config
+    )
 
 
 def collect_to_host(columns, live) -> Dict[str, np.ndarray]:

@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Distributed shuffle-join scaling bench.
+
+Measures rows/s of :func:`radixjoin_tpu.parallel.distributed_join` at mesh
+sizes 1..N and reports weak-scaling efficiency (rows per device held
+constant; ideal = flat rows/s/device). On a machine without a multi-chip
+pod this runs on the virtual CPU mesh (``xla_force_host_platform_device_
+count``) — shards execute on separate host cores, so the balance of the
+shuffle + local-join pipeline is what is being measured; on a real pod
+slice the same code path rides ICI. The reference has no distributed mode
+(SURVEY.md §2 — single process); the >=80% efficiency target comes from
+BASELINE.json's north star.
+
+Each mesh size runs in a fresh subprocess (device count is fixed at
+backend init).
+
+Usage: python tools/scaling_bench.py [--ndev 1,2,4,8] [--rows 200000]
+       [--skew 0.2] [--json out.json]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(ndev: int, rows_per_dev: int, skew: float, reps: int) -> dict:
+    """Child-process body: build the mesh, run the join, report timings."""
+    import numpy as np
+    import jax
+
+    # the dev environment registers a single-chip TPU plugin that would
+    # otherwise win over the forced CPU mesh (see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
+    from radixjoin_tpu.parallel import distributed_join, make_mesh
+    from radixjoin_tpu.parallel.dist_join import (
+        DistJoinConfig, detect_hot_keys, distributed_join_device, shard_inputs,
+        _pad_to_shards,
+    )
+
+    mesh = make_mesh(ndev)
+    rng = np.random.default_rng(0)
+    n_probe = rows_per_dev * ndev
+    n_build = max(1024, n_probe // 8)
+    bk = rng.permutation(n_build * 4)[:n_build].astype(np.int64)
+    bv = np.ones(n_build, bool)
+    pk = rng.choice(bk, n_probe).astype(np.int64)
+    n_hot = int(skew * n_probe)
+    if n_hot:
+        pk[:n_hot] = bk[0]  # one heavy hitter takes `skew` of the probe side
+    pv = np.ones(n_probe, bool)
+    bpl = {"val": (bk * 3).astype(np.int64)}
+    ppl = {"row": np.arange(n_probe, dtype=np.int64)}
+
+    # pre-shard once: the scaling measure targets the SPMD shuffle+join
+    # phases (what rides ICI on a pod), not host staging
+    config = DistJoinConfig()
+    sharded = shard_inputs(mesh, bk, bv, bpl, pk, pv, ppl)
+    cap_p = max(16, int(config.capacity_factor * (sharded[3].shape[0] // ndev) / ndev) + 1)
+    hot_keys, hot_valid = detect_hot_keys(
+        _pad_to_shards(pk, ndev),
+        _pad_to_shards(pv.astype(bool), ndev, fill=False),
+        config, ndev, cap_p,
+    )
+    # warmup (compile)
+    cols, live, totals = distributed_join_device(
+        *sharded, mesh, hot_keys, hot_valid, config
+    )
+    jax.block_until_ready(live)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        cols, live, totals = distributed_join_device(
+            *sharded, mesh, hot_keys, hot_valid, config
+        )
+        jax.block_until_ready(live)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    out_rows = int(np.asarray(live).sum())
+    return {
+        "ndev": ndev,
+        "probe_rows": n_probe,
+        "out_rows": out_rows,
+        "s": best,
+        "probe_rows_per_s": n_probe / best,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ndev", default="1,2,4,8")
+    ap.add_argument("--rows", type=int, default=200_000, help="probe rows/device")
+    ap.add_argument("--skew", type=float, default=0.2)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--child", type=int, default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child is not None:
+        result = run_one(args.child, args.rows, args.skew, args.reps)
+        print("CHILD_RESULT " + json.dumps(result))
+        return
+
+    results = []
+    for ndev in [int(x) for x in args.ndev.split(",")]:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={ndev}"
+        ).strip()
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(ndev),
+             "--rows", str(args.rows), "--skew", str(args.skew),
+             "--reps", str(args.reps)],
+            env=env, capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"ndev={ndev} failed")
+        line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT")]
+        results.append(json.loads(line[0][len("CHILD_RESULT "):]))
+
+    base = results[0]["probe_rows_per_s"] if results else 1.0
+    print("NOTE: virtual CPU mesh — all 'devices' share the host cores "
+          "(XLA CPU already uses every core at ndev=1), so wall-clock "
+          "efficiency here reflects host saturation, not ICI scaling. "
+          "Per-device work is constant by construction "
+          "(send/recv buffers are ndev x cf*L/ndev = cf*L); run on a "
+          "pod slice for hardware numbers.")
+    print(f"{'ndev':>5} {'probe rows':>12} {'out rows':>10} {'ms':>9} "
+          f"{'Mrows/s':>9} {'eff':>6}")
+    for r in results:
+        eff = r["probe_rows_per_s"] / (base * r["ndev"])
+        r["weak_efficiency"] = eff
+        print(f"{r['ndev']:>5} {r['probe_rows']:>12,} {r['out_rows']:>10,} "
+              f"{r['s']*1e3:>9.2f} {r['probe_rows_per_s']/1e6:>9.2f} "
+              f"{eff*100:>5.1f}%")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
