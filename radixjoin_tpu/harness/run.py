@@ -122,6 +122,16 @@ def main(argv=None):
                         help="check results against the row + sqlite oracles")
     parser.add_argument("--repeat", type=int, default=1,
                         help="re-run each query N times, report the minimum")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="capture a JAX profiler trace of the query loop "
+                             "into DIR (view with TensorBoard / Perfetto; the "
+                             "TPU-native replacement for the reference's "
+                             "perf+flamegraph wrapper, benchmark.sh:12-29)")
+    parser.add_argument("--output-runtime", metavar="FILE", default=None,
+                        help="write the suite total in microseconds to FILE "
+                             "when every verified query is correct (the "
+                             "reference's BENCHMARK_RUNTIME.txt protocol, "
+                             "tests/read_sql.cpp:1319-1323)")
     args = parser.parse_args(argv)
 
     with open(args.plans) as f:
@@ -144,24 +154,40 @@ def main(argv=None):
         sqlite_oracle = oracle.SqliteOracle(source.host_tables)
 
     harness = JobHarness(args.plans, source, sql_dir)
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
     total_ms = 0.0
     all_ok = True
-    for name in names:
-        best = None
-        for _ in range(max(1, args.repeat)):
-            result, runtime_ms, correct, detail = harness.run_query(
-                name, verify=args.verify, sqlite_oracle=sqlite_oracle
-            )
-            best = runtime_ms if best is None else min(best, runtime_ms)
-        total_ms += best
-        status = ""
-        if args.verify:
-            status = f"  Result correct: {bool(correct)}"
-            if not correct:
-                all_ok = False
-                status += f"  ({detail})"
-        print(f"Query {name:>4}: {best:10.2f} ms  rows={result.num_rows}{status}")
+    try:
+        for name in names:
+            best = None
+            for _ in range(max(1, args.repeat)):
+                result, runtime_ms, correct, detail = harness.run_query(
+                    name, verify=args.verify, sqlite_oracle=sqlite_oracle
+                )
+                best = runtime_ms if best is None else min(best, runtime_ms)
+            total_ms += best
+            status = ""
+            if args.verify:
+                status = f"  Result correct: {bool(correct)}"
+                if not correct:
+                    all_ok = False
+                    status += f"  ({detail})"
+            print(f"Query {name:>4}: {best:10.2f} ms  rows={result.num_rows}{status}")
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+            print(f"profiler trace written to {args.profile}")
     print(f"Total: {total_ms:.2f} ms over {len(names)} queries")
+    if args.output_runtime and (not args.verify or all_ok):
+        with open(args.output_runtime, "w") as f:
+            f.write(f"{int(total_ms * 1000)}\n")
     harness.close()
     return 0 if all_ok else 1
 
