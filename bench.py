@@ -71,7 +71,28 @@ def main():
 
     from radixjoin_tpu.engine import execute
 
+    # Warmup pass: execute every query once across a thread pool. XLA
+    # compiles the suite's distinct kernel shapes concurrently (measured
+    # ~4x with 4 threads on the remote-compile backend; a sort-containing
+    # program costs ~15s to compile regardless of size), so a cold cache
+    # fills in minutes instead of hours. Results are discarded.
+    warm_threads = int(os.environ.get("BENCH_WARMUP_THREADS", "8"))
     total_rows = 0
+    if warm_threads > 0:
+        import concurrent.futures as cf
+
+        t_w = time.perf_counter()
+        rows_by_name = {}
+
+        def warm(name):
+            rows_by_name[name] = execute(plans[name], harness.context).num_rows
+
+        with cf.ThreadPoolExecutor(warm_threads) as ex:
+            list(ex.map(warm, names))
+        total_rows = sum(rows_by_name.values())
+        log(f"bench: warmup ({warm_threads} threads) took "
+            f"{time.perf_counter()-t_w:.1f}s")
+
     per_query = {}
     for it in range(max(1, repeat)):
         t_iter = time.perf_counter()
@@ -81,7 +102,7 @@ def main():
             dt = (time.perf_counter() - t0) * 1e3
             prev = per_query.get(name)
             per_query[name] = dt if prev is None else min(prev, dt)
-            if it == 0:
+            if it == 0 and warm_threads <= 0:
                 total_rows += result.num_rows
         log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s")
 

@@ -118,10 +118,12 @@ class SqliteOracle:
         self.conn.commit()
 
     @staticmethod
-    def _like(pattern, value) -> bool:
-        # sqlite calls like(P, X) for "X LIKE P"; exact byte semantics
+    def _like(pattern, value):
+        # sqlite calls like(P, X) for "X LIKE P"; exact byte semantics.
+        # NULL operands must yield SQL NULL (not False!) so that
+        # "x NOT LIKE p" excludes NULL rows: NOT NULL -> NULL -> filtered.
         if pattern is None or value is None:
-            return False
+            return None
         p = pattern.encode("latin-1") if isinstance(pattern, str) else pattern
         v = value.encode("latin-1") if isinstance(value, str) else value
         return like_match(v, p)

@@ -47,6 +47,48 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+class _x32:
+    """Trace/lower-time x64 off: the engine enables jax_enable_x64
+    globally, which makes grid index maps and weak-typed literals i64 —
+    Mosaic has no 64-bit vectors. Kernel wrappers pre-split any 64-bit
+    operands into i32 planes OUTSIDE this context, so jitting + lowering
+    the pallas core in 32-bit mode is exact."""
+
+    def __enter__(self):
+        self._cm = jax.enable_x64(False)
+        self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        return self._cm.__exit__(*exc)
+
+
+def _jit32(fn, **jit_kwargs):
+    """jax.jit whose trace AND Mosaic lowering run with x64 disabled.
+
+    BlockSpec index maps are traced during lowering (at the jit's first
+    compile), not at pallas_call time — so the compile itself must happen
+    inside the x32 scope. All array arguments must already be 32-bit.
+    """
+    jitted = jax.jit(fn, **jit_kwargs)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _x32():
+            return jitted(*args, **kwargs)
+
+    return wrapper
+
+
+def _split64(x: jnp.ndarray):
+    """int64 -> (hi int32, lo int32) planes. Mosaic has no 64-bit vector
+    types, so 64-bit keys are compared as two 32-bit lanes inside kernels
+    (hi signed, lo unsigned)."""
+    lo = jax.lax.convert_element_type(x & jnp.int64(0xFFFFFFFF), jnp.uint32)
+    hi = (x >> 32).astype(jnp.int32)
+    return hi, jax.lax.bitcast_convert_type(lo, jnp.int32)
+
+
 def _pad_to(x: jnp.ndarray, size: int, fill=0):
     if x.shape[0] == size:
         return x
@@ -91,7 +133,7 @@ def _bitmap_pack_kernel(bits_ref, out_ref):
     weights = jnp.left_shift(
         jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
     )
-    out_ref[:] = jnp.sum(bits * weights, axis=1, keepdims=True)
+    out_ref[:] = jnp.sum(bits * weights, axis=1, keepdims=True, dtype=jnp.int32)
 
 
 @jax.jit
@@ -149,49 +191,71 @@ def hash_bucket(keys: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _hist_kernel(bucket_ref, valid_ref, out_ref):
+def _hist_kernel(bucket_ref, valid_ref, out_ref, *, num_buckets: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    b = bucket_ref[:]  # (rows, 1) int32
-    v = valid_ref[:]
-    p = out_ref.shape[-1]
-    ids = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], p), 1)
-    onehot = ((b == ids) & (v != 0)).astype(jnp.int32)
-    out_ref[:] = out_ref[:] + jnp.sum(onehot, axis=0, keepdims=True)
+    # (r, 128) tiles: a (N, 1) layout would waste 128x VMEM (lane padding)
+    b = bucket_ref[:]
+    v = valid_ref[:] != 0
+    ppad = out_ref.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, ppad), 1)
+
+    # Mosaic cannot index a dynamic single lane, so bucket p's count is
+    # deposited via a predicated vector add (lane-iota mask) instead.
+    def body(p, acc):
+        cnt = jnp.sum(jnp.where((b == p) & v, 1, 0), dtype=jnp.int32)
+        return acc + jnp.where(lanes == p, cnt, 0).astype(jnp.int32)
+
+    acc = jax.lax.fori_loop(
+        0, num_buckets, body, jnp.zeros((1, ppad), jnp.int32)
+    )
+    out_ref[:] = out_ref[:] + acc
 
 
-@functools.partial(jax.jit, static_argnames=("num_buckets", "chunk"))
 def radix_histogram(
     bucket_ids: jnp.ndarray,
     valid: jnp.ndarray,
     num_buckets: int,
-    chunk: int = 1 << 15,
+    chunk: int = 1 << 13,
 ) -> jnp.ndarray:
     """Per-bucket counts of valid rows (reference histogram loop,
     execute.cpp:124-132; grid steps run sequentially on the TensorCore so
     the accumulation into ``out_ref`` is race-free)."""
     n = bucket_ids.shape[0]
     npad = _cdiv(max(n, 1), chunk) * chunk
-    b = _pad_to(bucket_ids.astype(jnp.int32), npad, fill=0).reshape(npad, 1)
-    v = _pad_to(valid.astype(jnp.int32), npad, fill=0).reshape(npad, 1)
+    # invalid fill bucket = num_buckets (never counted)
+    b = _pad_to(bucket_ids.astype(jnp.int32), npad, fill=num_buckets).reshape(
+        npad // LANE, LANE
+    )
+    v = _pad_to(valid.astype(jnp.int32), npad, fill=0).reshape(
+        npad // LANE, LANE
+    )
+    out = _hist_core(b, v, num_buckets=num_buckets, chunk=chunk)
+    return out.reshape(-1)[:num_buckets]
+
+
+@functools.partial(_jit32, static_argnames=("num_buckets", "chunk"))
+def _hist_core(b, v, *, num_buckets: int, chunk: int):
+    rows = chunk // LANE
     ppad = _cdiv(num_buckets, LANE) * LANE
-    grid = npad // chunk
-    out = pl.pallas_call(
-        _hist_kernel,
+    grid = (b.shape[0] * LANE) // chunk
+    return pl.pallas_call(
+        functools.partial(_hist_kernel, num_buckets=num_buckets),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((1, ppad), jnp.int32),
         interpret=_interpret(),
     )(b, v)
-    return out.reshape(-1)[:num_buckets]
 
 
 # ---------------------------------------------------------------------------
@@ -199,13 +263,17 @@ def radix_histogram(
 # ---------------------------------------------------------------------------
 
 
-def _block_join_kernel(bk_ref, bv_ref, pk_ref, pv_ref, idx_ref, cnt_ref):
-    bk = bk_ref[:]  # (1, B)
-    bv = bv_ref[:] != 0
-    pk = pk_ref[:]  # (C, 1)
-    pv = pv_ref[:] != 0
-    eq = (pk == bk) & bv & pv  # (C, B) broadcast compare
-    cnt_ref[:] = jnp.sum(eq.astype(jnp.int32), axis=1, keepdims=True)
+def _block_join_kernel(bh_ref, bl_ref, bv_ref, ph_ref, pl_ref, pv_ref,
+                       idx_ref, cnt_ref):
+    bv = bv_ref[:] != 0  # (1, B)
+    pv = pv_ref[:] != 0  # (C, 1)
+    # 64-bit equality as two 32-bit planes (lo plane is zeros for i32 keys)
+    eq = (
+        (ph_ref[:] == bh_ref[:]) & (pl_ref[:] == bl_ref[:]) & bv & pv
+    )  # (C, B) broadcast compare
+    cnt_ref[:] = jnp.sum(
+        eq.astype(jnp.int32), axis=1, keepdims=True, dtype=jnp.int32
+    )
     ids = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 1)
     # first matching build slot (min id among matches); B if none
     idx_ref[:] = jnp.min(
@@ -213,35 +281,60 @@ def _block_join_kernel(bk_ref, bv_ref, pk_ref, pv_ref, idx_ref, cnt_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
 def block_join_lookup(
     build_keys: jnp.ndarray,
     build_valid: jnp.ndarray,
     probe_keys: jnp.ndarray,
     probe_valid: jnp.ndarray,
-    chunk: int = 1 << 13,
+    chunk: int = 0,  # 0 = auto: keep the (chunk, B) compare tile ~2 MB
 ):
     """For each probe row: count of matching build rows and the FIRST
     matching build slot (== the only one when build keys are unique).
 
     O(C*B) dense compares — optimal on the VPU when B is small (dimension
-    tables): no sort, no hash table, no gathers. Returns
+    tables): no sort, no hash table, no gathers. INT64 keys are compared
+    as hi/lo 32-bit planes (Mosaic has no 64-bit vectors). Returns
     ``(first_idx int32[C], counts int32[C])`` with ``first_idx == B`` where
     no match.
     """
     b = build_keys.shape[0]
     assert b % LANE == 0, "pad build side to a lane multiple"
+    if chunk <= 0:
+        # (chunk, B) compare tile <= 2 MB; (chunk, 1) operand planes pad
+        # their lane dim to 128, so keep chunk modest as well
+        chunk = max(SUBLANE, min(1 << 10, (2 << 20) // (b * 4)))
     n = probe_keys.shape[0]
     npad = _cdiv(max(n, 1), chunk) * chunk
-    pk = _pad_to(probe_keys, npad).reshape(npad, 1)
+    if build_keys.dtype == jnp.int64:
+        bh, bl = _split64(build_keys)
+        ph, plo = _split64(_pad_to(probe_keys, npad))
+    else:
+        bh, bl = build_keys.astype(jnp.int32), jnp.zeros(b, jnp.int32)
+        ph = _pad_to(probe_keys.astype(jnp.int32), npad)
+        plo = jnp.zeros(npad, jnp.int32)
     pv = _pad_to(probe_valid.astype(jnp.int32), npad).reshape(npad, 1)
+    idx, cnt = _block_join_core(
+        bh.reshape(1, b), bl.reshape(1, b),
+        build_valid.astype(jnp.int32).reshape(1, b),
+        ph.reshape(npad, 1), plo.reshape(npad, 1), pv,
+        chunk=chunk,
+    )
+    return idx.reshape(-1)[:n], cnt.reshape(-1)[:n]
+
+
+@functools.partial(_jit32, static_argnames=("chunk",))
+def _block_join_core(bh, bl, bv, ph, plo, pv, *, chunk: int):
+    b = bh.shape[1]
+    npad = ph.shape[0]
     grid = npad // chunk
-    idx, cnt = pl.pallas_call(
+    return pl.pallas_call(
         _block_join_kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -254,13 +347,7 @@ def block_join_lookup(
             jax.ShapeDtypeStruct((npad, 1), jnp.int32),
         ),
         interpret=_interpret(),
-    )(
-        build_keys.reshape(1, b),
-        build_valid.astype(jnp.int32).reshape(1, b),
-        pk,
-        pv,
-    )
-    return idx.reshape(-1)[:n], cnt.reshape(-1)[:n]
+    )(bh, bl, bv, ph, plo, pv)
 
 
 # ---------------------------------------------------------------------------
@@ -270,37 +357,68 @@ def block_join_lookup(
 _OPS = ("eq", "ne", "lt", "le", "gt", "ge")
 
 
-def _compare_kernel(x_ref, out_ref, *, op: str, literal):
-    x = x_ref[:]
-    lit = jnp.asarray(literal, x.dtype)
+def _compare_kernel(xh_ref, xl_ref, out_ref, *, op: str, lit_hi: int, lit_lo: int):
+    """Lexicographic (hi signed, lo unsigned-as-bits) two-plane compare —
+    exact int64 semantics on a 32-bit vector unit."""
+    xh = xh_ref[:]
+    xl = xl_ref[:]
+    lh = jnp.int32(lit_hi)
+    ll = jnp.int32(lit_lo)
+    # unsigned compare of the low plane via sign-bit flip
+    flip = jnp.int32(-0x80000000)
+    xlu = xl ^ flip
+    llu = ll ^ flip
+    eq = (xh == lh) & (xl == ll)
+    lt = (xh < lh) | ((xh == lh) & (xlu < llu))
     if op == "eq":
-        m = x == lit
+        m = eq
     elif op == "ne":
-        m = x != lit
+        m = ~eq
     elif op == "lt":
-        m = x < lit
+        m = lt
     elif op == "le":
-        m = x <= lit
+        m = lt | eq
     elif op == "gt":
-        m = x > lit
-    else:
-        m = x >= lit
+        m = ~(lt | eq)
+    else:  # ge
+        m = ~lt
     out_ref[:] = m.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("op", "literal"))
 def compare_mask(values: jnp.ndarray, op: str, literal) -> jnp.ndarray:
     """Branch-free comparison mask (device twin of the reference's
-    InnerColumn kernels, inner_column.h:248-324)."""
+    InnerColumn kernels, inner_column.h:248-324). Integer columns only;
+    INT64 is compared as hi/lo 32-bit planes."""
     assert op in _OPS
     n = values.shape[0]
     npad = _cdiv(max(n, 1), TILE) * TILE
-    x = _pad_to(values, npad).reshape(npad // LANE, LANE)
-    out = pl.pallas_call(
-        functools.partial(_compare_kernel, op=op, literal=literal),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+    lit = int(literal)
+    if values.dtype == jnp.int64:
+        xh, xl = _split64(_pad_to(values, npad))
+    else:
+        xh = _pad_to(values.astype(jnp.int32), npad)
+        xl = jnp.zeros(npad, jnp.int32)
+        lit = lit << 32  # hi plane carries the value for 32-bit inputs
+    lit_hi = (lit >> 32) & 0xFFFFFFFF
+    lit_hi = lit_hi - (1 << 32) if lit_hi >= (1 << 31) else lit_hi
+    lit_lo = lit & 0xFFFFFFFF
+    lit_lo = lit_lo - (1 << 32) if lit_lo >= (1 << 31) else lit_lo
+    shape2 = (npad // LANE, LANE)
+    out = _compare_core(
+        xh.reshape(shape2), xl.reshape(shape2),
+        op=op, lit_hi=lit_hi, lit_lo=lit_lo,
+    )
+    return out.reshape(-1)[:n].astype(bool)
+
+
+@functools.partial(_jit32, static_argnames=("op", "lit_hi", "lit_lo"))
+def _compare_core(xh, xl, *, op: str, lit_hi: int, lit_lo: int):
+    return pl.pallas_call(
+        functools.partial(
+            _compare_kernel, op=op, lit_hi=lit_hi, lit_lo=lit_lo
+        ),
+        out_shape=jax.ShapeDtypeStruct(xh.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(x)
-    return out.reshape(-1)[:n].astype(bool)
+    )(xh, xl)

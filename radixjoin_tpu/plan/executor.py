@@ -135,18 +135,34 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
             )
             valid_for[idx] = (sig, True)
 
-        # ONE batched fetch of every join's exact total
+        # ONE batched fetch of every join's exact total. Small root outputs
+        # ride along speculatively (valid unless a bucket overflowed), so a
+        # warm query pays a single device->host round trip.
         totals_dev = [results[i].total_dev for i in join_ids]
         totals = [
             int(t) if isinstance(t, (int, np.integer)) else None
             for t in totals_dev
         ]
         fetch = [t for t in totals_dev if not isinstance(t, (int, np.integer))]
-        if fetch:
-            fetched = iter(jax.device_get(fetch))
+        root_res = results[plan.root]
+        root_arrays = tuple(d for d, _ in root_res.cols) + tuple(
+            v for _, v in root_res.cols
+        )
+        root_bytes = sum(
+            int(a.shape[0]) * a.dtype.itemsize for a in root_arrays
+        )
+        prefetch_root = root_bytes <= (4 << 20)
+        if fetch or prefetch_root:
+            bundle = jax.device_get(
+                (fetch, root_arrays if prefetch_root else ())
+            )
+            fetched = iter(bundle[0])
             totals = [
                 t if t is not None else int(next(fetched)) for t in totals
             ]
+            prefetched = bundle[1] if prefetch_root else None
+        else:
+            prefetched = None
         totals_by_node = dict(zip(join_ids, totals))
 
         # overflow check (unique joins can never overflow)
@@ -171,7 +187,7 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
                     )
                 valid_for.pop(idx, None)
         if not overflow and all(exact.get(i, True) for i in join_ids):
-            return results[plan.root], totals_by_node
+            return results[plan.root], totals_by_node, prefetched
         # drop descendants of invalidated nodes
         for idx in order:
             node = plan.nodes[idx]
@@ -308,8 +324,14 @@ def _run_join(
 # ---------------------------------------------------------------------------
 
 
-def fetch_root(plan: Plan, root: _NodeResult, totals_by_node: Dict[int, int]):
-    """One transfer of the root columns; returns a HostTable."""
+def fetch_root(
+    plan: Plan,
+    root: _NodeResult,
+    totals_by_node: Dict[int, int],
+    prefetched=None,
+):
+    """Root columns -> HostTable (skips the transfer when the totals fetch
+    already carried them)."""
     from ..storage.columnar import HostTable
 
     root_node = plan.nodes[plan.root]
@@ -320,11 +342,16 @@ def fetch_root(plan: Plan, root: _NodeResult, totals_by_node: Dict[int, int]):
 
     # root joins are always compacted (the engine excludes the root from
     # the unique fast path) and scans are dense, so rows [0:total) are it
-    arrays = tuple(d for d, _ in root.cols) + tuple(v for _, v in root.cols)
-    fetch_pad = min(join_ops.bucket_size(max(total, 1)), root.pad)
-    if fetch_pad < root.pad:
-        arrays = _slice_cols(arrays, fetch_pad)
-    host_arrays = jax.device_get(arrays)
+    if prefetched is not None:
+        host_arrays = prefetched
+    else:
+        arrays = tuple(d for d, _ in root.cols) + tuple(
+            v for _, v in root.cols
+        )
+        fetch_pad = min(join_ops.bucket_size(max(total, 1)), root.pad)
+        if fetch_pad < root.pad:
+            arrays = _slice_cols(arrays, fetch_pad)
+        host_arrays = jax.device_get(arrays)
     k = len(root.cols)
     datas, valids = host_arrays[:k], host_arrays[k:]
 
@@ -359,5 +386,5 @@ def _np_column_to_host(dt, data, valid, dictionary):
 
 def execute_shared(plan: Plan, unique_joins: frozenset):
     """Full shape-shared execution: returns a HostTable."""
-    root, totals = run_plan(plan, unique_joins)
-    return fetch_root(plan, root, totals)
+    root, totals, prefetched = run_plan(plan, unique_joins)
+    return fetch_root(plan, root, totals, prefetched)
