@@ -140,6 +140,110 @@ def join_expand_impl(
     return bidx, pidx, live
 
 
+def join_merge_impl(
+    build_keys: jnp.ndarray,
+    build_valid: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    probe_valid: jnp.ndarray,
+):
+    """Single-sort merge join count: ONE co-sort of (build ++ probe) with
+    segment scans, replacing the build sort + two sort-based searchsorteds
+    of :func:`join_count_impl` (~45% less sort work — the dominant cost of
+    a general join on TPU).
+
+    Sorts the combined array by (invalid, key, side) carrying original row
+    ids; builds precede probes within each equal-key run, so for a probe
+    element at combined position ``pos`` with run start ``rs``:
+
+      * ``count`` = builds in its run = (pos - rs) - (probes in [rs, pos))
+        (equal for every probe of the run);
+      * its matches occupy combined positions [rs, rs + count), whose
+        carried ids are the original build rows.
+
+    Output rows are ordered by sorted-probe position (join results are
+    multisets; the harness comparator sorts rows, reference
+    read_sql.cpp:1159-1222).
+
+    Returns ``(ids_sorted, run_start, pos_is_probe_counts, offsets, total)``
+    for :func:`join_expand_merge_impl`:
+      * ``ids_sorted`` (B+P,) int32 — original row id per combined slot
+      * ``run_start`` (B+P,) int64 — run start position per combined slot
+      * ``counts``    (B+P,) int64 — matches per combined slot (0 for
+        build/invalid slots)
+      * ``offsets``   (B+P,) int64 — exclusive prefix sum of counts
+      * ``total``     ()     int64
+    """
+    bp = build_keys.shape[0]
+    pp = probe_keys.shape[0]
+    n = bp + pp
+    keys = jnp.concatenate([build_keys, probe_keys])
+    valid = jnp.concatenate([build_valid, probe_valid])
+    side = jnp.concatenate(
+        [jnp.zeros(bp, jnp.uint8), jnp.ones(pp, jnp.uint8)]
+    )
+    ids = jnp.concatenate(
+        [
+            jnp.arange(bp, dtype=jnp.int32),
+            jnp.arange(pp, dtype=jnp.int32),
+        ]
+    )
+    invalid = (~valid).astype(jnp.uint8)
+    _, keys_s, side_s, ids_s, valid_s = jax.lax.sort(
+        (invalid, keys, side, ids, valid.astype(jnp.uint8)), num_keys=3
+    )
+    pos = jnp.arange(n, dtype=jnp.int64)
+    prev_key = jnp.concatenate([keys_s[:1], keys_s[:-1]])
+    prev_valid = jnp.concatenate([valid_s[:1], valid_s[:-1]])
+    # runs break on key change AND on the valid->invalid boundary (an
+    # invalid element whose key equals the last valid run must not join it)
+    is_start = (pos == 0) | (keys_s != prev_key) | (valid_s != prev_valid)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, jnp.int64(0))
+    )
+    is_probe = side_s == 1
+    probe_excl = jnp.cumsum(is_probe.astype(jnp.int64)) - is_probe
+    # probe_excl at each run start, broadcast across the run (monotone, so
+    # a running max of start-masked values is exact)
+    probe_at_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, probe_excl, jnp.int64(0))
+    )
+    builds_in_run = (pos - run_start) - (probe_excl - probe_at_start)
+    counts = jnp.where(is_probe & (valid_s == 1), builds_in_run, 0)
+    offsets = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+    return ids_s, run_start, counts, offsets, total
+
+
+def join_expand_merge_impl(
+    ids_sorted: jnp.ndarray,
+    run_start: jnp.ndarray,
+    offsets: jnp.ndarray,
+    total: jnp.ndarray,
+    s_pad: int,
+):
+    """Expansion for the merge join: output slot j -> (build_row,
+    probe_row, live). Same scatter-max owner recovery as
+    :func:`join_expand_impl`, but over combined positions."""
+    n = offsets.shape[0]
+    counts_nonzero = jnp.diff(jnp.append(offsets, total)) > 0
+    starts = jnp.where(counts_nonzero, offsets, s_pad)
+    marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
+    marker = marker.at[starts].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    owner = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
+    owner = jnp.clip(owner, 0, n - 1).astype(jnp.int64)
+    j = jnp.arange(s_pad, dtype=jnp.int64)
+    within = j - offsets[owner]
+    bpos = jnp.clip(run_start[owner] + within, 0, n - 1)
+    bidx = ids_sorted[bpos]
+    pidx = ids_sorted[owner]
+    live = j < total
+    bidx = jnp.where(live, bidx, 0).astype(jnp.int32)
+    pidx = jnp.where(live, pidx, 0).astype(jnp.int32)
+    return bidx, pidx, live
+
+
 def join_unique_impl(
     build_keys: jnp.ndarray,
     build_valid: jnp.ndarray,

@@ -47,13 +47,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-class _x32:
-    """Trace/lower-time x64 off: the engine enables jax_enable_x64
-    globally, which makes grid index maps and weak-typed literals i64 —
-    Mosaic has no 64-bit vectors. Kernel wrappers pre-split any 64-bit
-    operands into i32 planes OUTSIDE this context, so jitting + lowering
-    the pallas core in 32-bit mode is exact."""
+# x64-proofing: the engine enables jax_enable_x64 globally, but Mosaic has
+# no 64-bit vector types. Every loop-free kernel here is written to trace
+# clean under x64 — index maps return np.int32 constants (a bare `0`
+# literal becomes an i64 func.return), reductions carry explicit i32
+# dtypes, and 64-bit operands are pre-split into i32 planes
+# (:func:`_split64`). This keeps block_join/compare/bitmap kernels
+# embeddable inside the engine's x64 jits (the block join fuses into the
+# join program). The one exception is the histogram: its fori_loop
+# induction variable is i64 under an x64 trace and Mosaic cannot lower the
+# i64->i32 conversion, so its core compiles under :func:`_jit32` and it is
+# NOT embeddable in x64 jits.
+_I0 = np.int32(0)
 
+
+class _x32:
     def __enter__(self):
         self._cm = jax.enable_x64(False)
         self._cm.__enter__()
@@ -64,12 +72,8 @@ class _x32:
 
 
 def _jit32(fn, **jit_kwargs):
-    """jax.jit whose trace AND Mosaic lowering run with x64 disabled.
-
-    BlockSpec index maps are traced during lowering (at the jit's first
-    compile), not at pallas_call time — so the compile itself must happen
-    inside the x32 scope. All array arguments must already be 32-bit.
-    """
+    """jax.jit whose trace AND Mosaic lowering run with x64 disabled (the
+    compile happens at first call, inside the scope)."""
     jitted = jax.jit(fn, **jit_kwargs)
 
     @functools.wraps(fn)
@@ -247,11 +251,11 @@ def _hist_core(b, v, *, num_buckets: int, chunk: int):
         functools.partial(_hist_kernel, num_buckets=num_buckets),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANE), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, LANE), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, ppad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (1, ppad), lambda i: (_I0, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, ppad), jnp.int32),
         interpret=_interpret(),
@@ -322,7 +326,7 @@ def block_join_lookup(
     return idx.reshape(-1)[:n], cnt.reshape(-1)[:n]
 
 
-@functools.partial(_jit32, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def _block_join_core(bh, bl, bv, ph, plo, pv, *, chunk: int):
     b = bh.shape[1]
     npad = ph.shape[0]
@@ -331,16 +335,16 @@ def _block_join_core(bh, bl, bv, ph, plo, pv, *, chunk: int):
         _block_join_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (_I0, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (_I0, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (_I0, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((npad, 1), jnp.int32),
@@ -411,7 +415,7 @@ def compare_mask(values: jnp.ndarray, op: str, literal) -> jnp.ndarray:
     return out.reshape(-1)[:n].astype(bool)
 
 
-@functools.partial(_jit32, static_argnames=("op", "lit_hi", "lit_lo"))
+@functools.partial(jax.jit, static_argnames=("op", "lit_hi", "lit_lo"))
 def _compare_core(xh, xl, *, op: str, lit_hi: int, lit_lo: int):
     return pl.pallas_call(
         functools.partial(

@@ -50,7 +50,8 @@ from .ir import JoinNode, Plan, ScanNode
 
 @functools.partial(jax.jit, static_argnames=("out_pad",))
 def _join_general(kb, vb, kp, vp, bcols, pcols, out_pad: int):
-    """Count + expand + gather for a duplicate-capable build side.
+    """Count + expand + gather for a duplicate-capable build side
+    (three-sort formulation: build sort + two sort-based searchsorteds).
 
     ``bcols``/``pcols``: tuples of (data, valid) payload arrays. Returns
     (out_b, out_p, live, total) with outputs in the ``out_pad`` bucket.
@@ -62,6 +63,32 @@ def _join_general(kb, vb, kp, vp, bcols, pcols, out_pad: int):
     return out_b, out_p, live, total
 
 
+@functools.partial(jax.jit, static_argnames=("out_pad",))
+def _join_general_merge(kb, vb, kp, vp, bcols, pcols, out_pad: int):
+    """Single-sort merge-join formulation (join_merge_impl): ~45% less
+    sort work than the three-sort path; output rows ordered by sorted
+    probe position (a legal multiset ordering)."""
+    ids_s, run_start, _counts, offsets, total = join_ops.join_merge_impl(
+        kb, vb, kp, vp
+    )
+    bidx, pidx, live = join_ops.join_expand_merge_impl(
+        ids_s, run_start, offsets, total, out_pad
+    )
+    out_b = tuple((d[bidx], v[bidx] & live) for d, v in bcols)
+    out_p = tuple((d[pidx], v[pidx] & live) for d, v in pcols)
+    return out_b, out_p, live, total
+
+
+def _general_impl():
+    import os
+
+    return (
+        _join_general_merge
+        if os.environ.get("RJT_GENERAL_JOIN", "merge") == "merge"
+        else _join_general
+    )
+
+
 @jax.jit
 def _join_unique(kb, vb, kp, vp, bcols):
     """FK->PK fast path: probe-shaped output, no bucket choice, no sync.
@@ -71,6 +98,41 @@ def _join_unique(kb, vb, kp, vp, bcols):
     """
     bidx, found, total = join_ops.join_unique_impl(kb, vb, kp, vp)
     out_b = tuple((d[bidx], v[bidx] & found) for d, v in bcols)
+    return out_b, found, total
+
+
+_BLOCK_JOIN_MAX_BUILD = 1024
+
+
+def _block_join_enabled(bpad: int) -> bool:
+    import os
+
+    mode = os.environ.get("RJT_BLOCK_JOIN", "off")
+    if mode == "off":
+        return False
+    if mode == "force":
+        return True
+    # "auto": measured on v5e, the eager pallas wrapper costs ~3 dispatches
+    # per join vs the sort path's single fused one, which outweighs the
+    # saved sort at JOB scale (11.3s vs 9.6s suite) — off by default until
+    # the kernel can be embedded in the x64 jit
+    return bpad <= _BLOCK_JOIN_MAX_BUILD and jax.default_backend() == "tpu"
+
+
+@jax.jit
+def _join_unique_block(kb, vb, kp, vp, bcols):
+    """Sort-free unique join via the pallas broadcast-equality kernel
+    (ops/pallas_kernels.py): the whole build side stays VMEM-resident and
+    every probe chunk is compared against it densely — no sort, no
+    permutation, indices are original build row ids. The kernel is
+    x64-proof, so lookup + gather fuse into ONE program/dispatch."""
+    from ..ops import pallas_kernels as pk
+
+    bidx_raw, cnt = pk.block_join_lookup(kb, vb, kp, vp)
+    found = (cnt > 0) & vp
+    bidx = jnp.where(found, bidx_raw, 0)
+    out_b = tuple((d[bidx], v[bidx] & found) for d, v in bcols)
+    total = jnp.sum(found.astype(jnp.int64))
     return out_b, found, total
 
 
@@ -92,58 +154,153 @@ def _slice_cols(arrays, n: int):
 class _NodeResult:
     """Device columns of one executed plan node."""
 
-    __slots__ = ("cols", "total_dev", "pad", "compacted", "dicts")
+    __slots__ = ("cols", "total_dev", "pad", "compacted", "dicts", "live")
 
-    def __init__(self, cols, total_dev, pad, compacted, dicts):
+    def __init__(self, cols, total_dev, pad, compacted, dicts, live=None):
         self.cols = cols  # list[(data, valid)]
-        self.total_dev = total_dev  # device scalar or python int (scans)
+        self.total_dev = total_dev  # device scalar or python int once known
         self.pad = pad
         self.compacted = compacted  # rows [0:total) are the live rows
         self.dicts = dicts  # per-col StringDict or None
+        #: probe-shaped nodes only: the match mask (a row with a NULL
+        #: payload is live but invalid — compaction must use this, not the
+        #: per-column validity)
+        self.live = live
+
+
+# Shrink policy: syncing a wave's totals costs one device->host round trip
+# (~10-15 ms over a tunneled link) but lets every downstream sort run at
+# live-row scale. Measured on the JOB suite that trade only pays on the
+# heavy tail, so by default a query syncs at most once and only for waves
+# holding a >=2^18-padded node (26a: 404 -> 244 ms; mid-size queries
+# unaffected). Env overrides: RJT_SHRINK_MIN_PAD, RJT_SHRINK_MAX_SYNCS.
+_SHRINK_FACTOR = 4
+
+
+def _shrink_policy():
+    import os
+
+    return (
+        int(os.environ.get("RJT_SHRINK_MIN_PAD", str(1 << 18))),
+        int(os.environ.get("RJT_SHRINK_MAX_SYNCS", "1")),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_pad",))
+def _compact_probe_shaped(cols, live, out_pad: int):
+    """Compact live rows to the front of an ``out_pad`` bucket (the same
+    scatter-max owner recovery as join expansion, counts in {0,1})."""
+    n = live.shape[0]
+    counts = live.astype(jnp.int64)
+    offsets = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+    starts = jnp.where(live, offsets, out_pad)
+    marker = jnp.full(out_pad + 1, -1, dtype=jnp.int32)
+    marker = marker.at[starts].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    src = jnp.clip(
+        jax.lax.associative_scan(jnp.maximum, marker[:out_pad]), 0, n - 1
+    )
+    live_out = jnp.arange(out_pad, dtype=jnp.int64) < total
+    return tuple((d[src], v[src] & live_out) for d, v in cols)
+
+
+def _shrink_node(res: _NodeResult, total: int) -> _NodeResult:
+    """Shrink a node to its exact bucket once ``total`` is known: free
+    slicing for compacted nodes, a compaction kernel for probe-shaped."""
+    new_pad = join_ops.bucket_size(total)
+    if res.compacted:
+        if new_pad >= res.pad:
+            res.total_dev = total
+            return res
+        arrays = tuple(d for d, _ in res.cols) + tuple(v for _, v in res.cols)
+        sliced = _slice_cols(arrays, new_pad)
+        k = len(res.cols)
+        cols = list(zip(sliced[:k], sliced[k:]))
+        return _NodeResult(cols, total, new_pad, True, res.dicts)
+    if new_pad * _SHRINK_FACTOR > res.pad:
+        res.total_dev = total
+        return res
+    cols = _compact_probe_shaped(tuple(res.cols), res.live, new_pad)
+    return _NodeResult(list(cols), total, new_pad, True, res.dicts)
+
+
+def _levels(plan: Plan, order):
+    level: Dict[int, int] = {}
+    for idx in order:
+        node = plan.nodes[idx]
+        if isinstance(node.data, ScanNode):
+            level[idx] = 0
+        else:
+            level[idx] = 1 + max(level[node.data.left], level[node.data.right])
+    return level
 
 
 def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
-    """Execute ``plan``; returns (root_result, totals_by_node) with exact
-    buckets (retries overflowed general joins with exact sizes)."""
+    """Execute ``plan`` in topological waves.
+
+    After each wave containing a big node, its exact totals are fetched
+    (one small sync) and oversized intermediates are shrunk before the
+    next wave dispatches — JOB joins are highly selective, so downstream
+    sorts then run at live-row scale instead of the base-table pad.
+    General-join overflows in a synced wave are re-dispatched immediately
+    with exact buckets (their consumers have not run yet); overflows in
+    never-synced (small) waves are fixed up by recomputing the affected
+    ancestor chain at the end.
+
+    Returns ``(root_result, totals_by_node, prefetched_root_or_None)``.
+    """
     from .. import engine as eng
 
     buckets: Dict[int, int] = {}
     order = plan.topo_order()
-    join_ids = [
-        i for i in order if isinstance(plan.nodes[i].data, JoinNode)
-    ]
+    join_ids = [i for i in order if isinstance(plan.nodes[i].data, JoinNode)]
+    level = _levels(plan, order)
     results: Dict[int, _NodeResult] = {}
-    valid_for: Dict[int, Tuple] = {}  # node -> bucket signature when computed
+    totals_by_node: Dict[int, int] = {}
 
-    for _attempt in range(max_attempts):
-        # (re)compute nodes whose effective bucket signature changed
-        for idx in order:
-            node = plan.nodes[idx]
-            if isinstance(node.data, ScanNode):
-                if idx not in results:
-                    results[idx] = _run_scan(eng, plan, idx, node)
-                continue
-            sig = (
-                buckets.get(idx),
-                valid_for.get(node.data.left),
-                valid_for.get(node.data.right),
-            )
-            if valid_for.get(idx) == (sig, True):
-                continue
+    for idx in order:
+        if isinstance(plan.nodes[idx].data, ScanNode):
+            results[idx] = _run_scan(eng, plan, idx, plan.nodes[idx])
+
+    waves: Dict[int, list] = {}
+    for idx in join_ids:
+        waves.setdefault(level[idx], []).append(idx)
+    wave_list = [waves[k] for k in sorted(waves)]
+
+    shrink_min_pad, max_syncs = _shrink_policy()
+    syncs = 0
+    for wi, wave in enumerate(wave_list):
+        for idx in wave:
             results[idx] = _run_join(
-                eng, plan, idx, node, results, buckets, unique_joins
+                eng, plan, idx, plan.nodes[idx], results, buckets, unique_joins
             )
-            valid_for[idx] = (sig, True)
+        is_last = wi == len(wave_list) - 1
+        if (
+            is_last
+            or syncs >= max_syncs
+            or not any(results[i].pad >= shrink_min_pad for i in wave)
+        ):
+            continue
+        syncs += 1
+        totals = jax.device_get([results[i].total_dev for i in wave])
+        for idx, t in zip(wave, (int(x) for x in totals)):
+            res = results[idx]
+            if res.compacted and t > res.pad:
+                # overflow: children are exact (earlier waves), re-dispatch
+                # this node alone with its exact bucket
+                buckets[idx] = join_ops.bucket_size(t)
+                res = results[idx] = _run_join(
+                    eng, plan, idx, plan.nodes[idx], results, buckets,
+                    unique_joins,
+                )
+            totals_by_node[idx] = t
+            results[idx] = _shrink_node(res, t)
 
-        # ONE batched fetch of every join's exact total. Small root outputs
-        # ride along speculatively (valid unless a bucket overflowed), so a
-        # warm query pays a single device->host round trip.
-        totals_dev = [results[i].total_dev for i in join_ids]
-        totals = [
-            int(t) if isinstance(t, (int, np.integer)) else None
-            for t in totals_dev
-        ]
-        fetch = [t for t in totals_dev if not isinstance(t, (int, np.integer))]
+    # final fetch: remaining totals + speculative small-root prefetch
+    for _attempt in range(max_attempts):
+        fetch_ids = [i for i in join_ids if i not in totals_by_node]
         root_res = results[plan.root]
         root_arrays = tuple(d for d, _ in root_res.cols) + tuple(
             v for _, v in root_res.cols
@@ -152,54 +309,40 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
             int(a.shape[0]) * a.dtype.itemsize for a in root_arrays
         )
         prefetch_root = root_bytes <= (4 << 20)
-        if fetch or prefetch_root:
-            bundle = jax.device_get(
-                (fetch, root_arrays if prefetch_root else ())
-            )
-            fetched = iter(bundle[0])
-            totals = [
-                t if t is not None else int(next(fetched)) for t in totals
-            ]
-            prefetched = bundle[1] if prefetch_root else None
-        else:
-            prefetched = None
-        totals_by_node = dict(zip(join_ids, totals))
+        bundle = jax.device_get((
+            [results[i].total_dev for i in fetch_ids],
+            root_arrays if prefetch_root else (),
+        ))
+        for i, t in zip(fetch_ids, bundle[0]):
+            totals_by_node[i] = int(t)
+        prefetched = bundle[1] if prefetch_root else None
 
-        # overflow check (unique joins can never overflow)
-        exact: Dict[int, bool] = {}
-        overflow = False
-        for idx in join_ids:
-            node = plan.nodes[idx]
-            deps_ok = all(
-                exact.get(d, True) for d in (node.data.left, node.data.right)
-            )
-            res = results[idx]
-            fits = (not res.compacted) or totals_by_node[idx] <= res.pad
-            exact[idx] = deps_ok and fits
-            if deps_ok and not fits:
-                buckets[idx] = join_ops.bucket_size(totals_by_node[idx])
-                overflow = True
-                valid_for.pop(idx, None)
-            elif not deps_ok:
-                if res.compacted:
-                    buckets[idx] = max(
-                        buckets.get(idx, res.pad) * 2, res.pad * 2
-                    )
-                valid_for.pop(idx, None)
-        if not overflow and all(exact.get(i, True) for i in join_ids):
+        # residual overflow fixup (only never-synced, i.e. small, nodes)
+        bad = [
+            i for i in join_ids
+            if results[i].compacted and totals_by_node[i] > results[i].pad
+        ]
+        if not bad:
             return results[plan.root], totals_by_node, prefetched
-        # drop descendants of invalidated nodes
+        affected = set()
+        parent: Dict[int, int] = {}
+        for idx in join_ids:
+            j = plan.nodes[idx].data
+            parent[j.left] = idx
+            parent[j.right] = idx
+        for b in bad:
+            buckets[b] = join_ops.bucket_size(totals_by_node[b])
+            n = b
+            while n is not None:
+                affected.add(n)
+                n = parent.get(n)
         for idx in order:
-            node = plan.nodes[idx]
-            if isinstance(node.data, JoinNode):
-                if (
-                    node.data.left not in valid_for
-                    and not isinstance(plan.nodes[node.data.left].data, ScanNode)
-                ) or (
-                    node.data.right not in valid_for
-                    and not isinstance(plan.nodes[node.data.right].data, ScanNode)
-                ):
-                    valid_for.pop(idx, None)
+            if idx in affected and isinstance(plan.nodes[idx].data, JoinNode):
+                results[idx] = _run_join(
+                    eng, plan, idx, plan.nodes[idx], results, buckets,
+                    unique_joins,
+                )
+                totals_by_node.pop(idx, None)
     raise RuntimeError("plan did not converge to exact buckets")
 
 
@@ -300,23 +443,30 @@ def _run_join(
         DataType.INT32, DataType.INT64
     )
     if unique and buckets.get(idx) is None:
-        out_b, found, total = _join_unique(kb, vb, kp, vp, tuple(bcols))
+        if _block_join_enabled(kb.shape[0]):
+            out_b, found, total = _join_unique_block(
+                kb, vb, kp, vp, tuple(bcols)
+            )
+        else:
+            out_b, found, total = _join_unique(kb, vb, kp, vp, tuple(bcols))
         out_p = _mask_cols(tuple(pcols), found)
         pad = probe.pad
         compacted = False
+        live = found
     else:
         out_pad = buckets.get(idx) or probe.pad
-        out_b, out_p, _live, total = _join_general(
+        out_b, out_p, _live, total = _general_impl()(
             kb, vb, kp, vp, tuple(bcols), tuple(pcols), out_pad
         )
         pad = out_pad
         compacted = True
+        live = None
 
     cols, dicts = [], []
     for fb, ci in out_sources:
         cols.append(out_b[bmap[ci]] if fb else out_p[pmap[ci]])
         dicts.append((build if fb else probe).dicts[ci])
-    return _NodeResult(cols, total, pad, compacted, dicts)
+    return _NodeResult(cols, total, pad, compacted, dicts, live)
 
 
 # ---------------------------------------------------------------------------

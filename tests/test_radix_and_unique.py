@@ -164,6 +164,67 @@ def test_host_partitioned_executor_matches_fused(monkeypatch):
     assert rows(spilled) == rows(normal)
 
 
+def test_block_join_path_matches(monkeypatch):
+    """Force the pallas block-join path (interpret mode on CPU); the
+    result must equal the sort-based unique path exactly."""
+    plan = _fk_pk_plan(unique_pk=True)
+    normal = engine.execute(plan).to_host()
+    monkeypatch.setenv("RJT_BLOCK_JOIN", "force")
+    blocked = engine.execute(plan).to_host()
+    monkeypatch.delenv("RJT_BLOCK_JOIN")
+
+    def rows(host):
+        return sorted(
+            tuple(
+                None if not host.columns[c].valid[i]
+                else host.columns[c].values[i].item()
+                for c in range(len(host.columns))
+            )
+            for i in range(host.num_rows)
+        )
+
+    assert blocked.num_rows == normal.num_rows
+    assert rows(blocked) == rows(normal)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_join_kernel_matches_reference(seed):
+    """join_merge_impl + join_expand_merge_impl produce the exact multiset
+    of (build_row, probe_row) pairs, incl. NULLs and duplicate keys."""
+    import jax.numpy as jnp
+    from radixjoin_tpu.ops import join as join_ops
+
+    rng = np.random.default_rng(seed)
+    nb, npr = 300, 900
+    bk = rng.integers(0, 150, nb).astype(np.int64)
+    bv = rng.random(nb) > 0.15
+    pk = rng.integers(0, 200, npr).astype(np.int64)
+    pv = rng.random(npr) > 0.15
+    # adversarial: an invalid build row carrying a key that exists validly
+    bk[0] = bk[1]
+    bv[0] = False
+
+    bpad = join_ops.bucket_size(nb)
+    ppad = join_ops.bucket_size(npr)
+    kb = join_ops.pad_1d(jnp.asarray(bk), bpad)
+    vb = join_ops.pad_1d(jnp.asarray(bv), bpad)
+    kp = join_ops.pad_1d(jnp.asarray(pk), ppad)
+    vp = join_ops.pad_1d(jnp.asarray(pv), ppad)
+
+    ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
+        kb, vb, kp, vp
+    )
+    s_pad = join_ops.bucket_size(int(total))
+    bidx, pidx, live = join_ops.join_expand_merge_impl(
+        ids_s, run_start, offsets, total, s_pad
+    )
+    live_np = np.asarray(live)
+    got = sorted(zip(
+        np.asarray(bidx)[live_np].tolist(), np.asarray(pidx)[live_np].tolist()
+    ))
+    assert got == ref_join(bk, bv, pk, pv)
+
+
 def test_unique_key_memo():
     col = HostColumn(DataType.INT32, np.array([3, 1, 2], np.int32),
                      np.ones(3, bool))
