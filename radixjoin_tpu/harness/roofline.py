@@ -60,16 +60,30 @@ class Measurement:
         )
 
 
+_CHAIN = 16
+
+
 def _time(fn: Callable, args, reps: int = 5) -> float:
-    """Median wall ms of ``fn(*args)`` with device fencing."""
+    """Median per-call ms, measured PIPELINED: ``_CHAIN`` back-to-back
+    dispatches with one fence at the end.
+
+    On the tunneled runtime a sync point costs a flat ~27 ms RTT (and
+    before the first device->host transfer the runtime under-reports
+    readiness entirely), so per-call fencing would measure the link, not
+    the kernel. Chaining amortizes the single sync to 1/_CHAIN per call —
+    the same regime the engine runs in (async chains, one fetch per
+    query).
+    """
+    # settle: compile + force the runtime into real-sync mode
     out = fn(*args)
-    jax.block_until_ready(out)  # compile warmup
+    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        outs = [fn(*args) for _ in range(_CHAIN)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / _CHAIN)
     return float(np.median(times) * 1e3)
 
 
@@ -226,9 +240,25 @@ def bench_pallas_bitmap(n: int, spec, reps: int) -> Measurement:
     return _measure("pallas_bitmap_unpack", n, ms, n // 8 + n, spec)
 
 
+def bench_join_merge(n: int, spec, reps: int, dtype=jnp.int32) -> Measurement:
+    """Single-sort merge-join count (the production general-join kernel)."""
+    rng = np.random.default_rng(0)
+    b = n // 4
+    bk = jnp.asarray(rng.integers(0, b, b).astype(dtype))
+    bv = jnp.ones(b, bool)
+    pk = jnp.asarray(rng.integers(0, b, n).astype(dtype))
+    pv = jnp.ones(n, bool)
+    fn = jax.jit(join_ops.join_merge_impl)
+    ms = _time(fn, (bk, bv, pk, pv), reps)
+    esize = np.dtype(dtype).itemsize
+    min_bytes = (b + n) * (esize + 1) + n * 8 * 2
+    return _measure(f"join_merge[{np.dtype(dtype).name}]", n, ms, min_bytes, spec)
+
+
 CASES: Dict[str, Callable] = {
     "sort": bench_sort,
     "hash": bench_hash,
+    "join_merge": bench_join_merge,
     "join_count": bench_join_count,
     "join_expand": bench_join_expand,
     "gather": bench_gather,

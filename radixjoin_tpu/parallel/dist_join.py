@@ -126,7 +126,7 @@ def _count_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev, cap_b, 
         ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
         hot_keys=hot_keys, hot_valid=hot_valid,
     )
-    _, _, _, _, total = join_ops.join_count_impl(jk, jv, pk, pv)
+    _, _, _, _, total = join_ops.join_merge_impl(jk, jv, pk, pv)
     return total[None], overflow[None]
 
 
@@ -139,8 +139,12 @@ def _materialize_phase(
         ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
         hot_keys=hot_keys, hot_valid=hot_valid,
     )
-    perm, lo, _, offsets, total = join_ops.join_count_impl(jk, jv, pk, pv)
-    bidx, pidx, live = join_ops.join_expand_impl(perm, lo, offsets, total, s_pad)
+    ids_s, run_start, _, offsets, total = join_ops.join_merge_impl(
+        jk, jv, pk, pv
+    )
+    bidx, pidx, live = join_ops.join_expand_merge_impl(
+        ids_s, run_start, offsets, total, s_pad
+    )
     out = {}
     out["__build_key"] = jnp.where(live, jk[bidx], 0)
     for name, values in jp.items():

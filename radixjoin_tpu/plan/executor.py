@@ -48,6 +48,36 @@ from .ir import JoinNode, Plan, ScanNode
 # ---------------------------------------------------------------------------
 
 
+def _gather_cols(cols, idx, live):
+    """Late materialization with BATCHED gathers: TPU gather cost is per
+    instruction, so K same-dtype columns stacked into a (K, pad) matrix
+    and gathered once run ~Kx faster than K separate gathers (measured
+    9.3 ms vs 57 ms for 4x 1M-row i32). Validity planes batch the same
+    way. Returns tuple of (data, valid & live) in input order."""
+    if not cols:
+        return ()
+    outs = [None] * len(cols)
+    groups: Dict = {}
+    for i, (d, _v) in enumerate(cols):
+        groups.setdefault(d.dtype, []).append(i)
+    for dtype, members in groups.items():
+        if len(members) == 1:
+            i = members[0]
+            outs[i] = cols[i][0][idx]
+        else:
+            m = jnp.stack([cols[i][0] for i in members])
+            g = m[:, idx]
+            for j, i in enumerate(members):
+                outs[i] = g[j]
+    if len(cols) == 1:
+        gv = (cols[0][1][idx] & live,)
+    else:
+        vm = jnp.stack([v for _, v in cols])
+        gvm = vm[:, idx]
+        gv = tuple(gvm[j] & live for j in range(len(cols)))
+    return tuple((outs[i], gv[i]) for i in range(len(cols)))
+
+
 @functools.partial(jax.jit, static_argnames=("out_pad",))
 def _join_general(kb, vb, kp, vp, bcols, pcols, out_pad: int):
     """Count + expand + gather for a duplicate-capable build side
@@ -58,8 +88,8 @@ def _join_general(kb, vb, kp, vp, bcols, pcols, out_pad: int):
     """
     perm, lo, _counts, offsets, total = join_ops.join_count_impl(kb, vb, kp, vp)
     bidx, pidx, live = join_ops.join_expand_impl(perm, lo, offsets, total, out_pad)
-    out_b = tuple((d[bidx], v[bidx] & live) for d, v in bcols)
-    out_p = tuple((d[pidx], v[pidx] & live) for d, v in pcols)
+    out_b = _gather_cols(bcols, bidx, live)
+    out_p = _gather_cols(pcols, pidx, live)
     return out_b, out_p, live, total
 
 
@@ -74,8 +104,8 @@ def _join_general_merge(kb, vb, kp, vp, bcols, pcols, out_pad: int):
     bidx, pidx, live = join_ops.join_expand_merge_impl(
         ids_s, run_start, offsets, total, out_pad
     )
-    out_b = tuple((d[bidx], v[bidx] & live) for d, v in bcols)
-    out_p = tuple((d[pidx], v[pidx] & live) for d, v in pcols)
+    out_b = _gather_cols(bcols, bidx, live)
+    out_p = _gather_cols(pcols, pidx, live)
     return out_b, out_p, live, total
 
 
@@ -97,7 +127,7 @@ def _join_unique(kb, vb, kp, vp, bcols):
     ANDs ``found`` into their validity (see ``_mask_cols``).
     """
     bidx, found, total = join_ops.join_unique_impl(kb, vb, kp, vp)
-    out_b = tuple((d[bidx], v[bidx] & found) for d, v in bcols)
+    out_b = _gather_cols(bcols, bidx, found)
     return out_b, found, total
 
 
@@ -131,7 +161,7 @@ def _join_unique_block(kb, vb, kp, vp, bcols):
     bidx_raw, cnt = pk.block_join_lookup(kb, vb, kp, vp)
     found = (cnt > 0) & vp
     bidx = jnp.where(found, bidx_raw, 0)
-    out_b = tuple((d[bidx], v[bidx] & found) for d, v in bcols)
+    out_b = _gather_cols(bcols, bidx, found)
     total = jnp.sum(found.astype(jnp.int64))
     return out_b, found, total
 
@@ -139,6 +169,60 @@ def _join_unique_block(kb, vb, kp, vp, bcols):
 @jax.jit
 def _mask_cols(cols, mask):
     return tuple((d, v & mask) for d, v in cols)
+
+
+# ---------------------------------------------------------------------------
+# Single-buffer fetch: on the tunneled runtime every device_get BUFFER pays
+# its own ~27 ms round trip (measured: a 7-buffer fetch costs ~190 ms), so
+# all host-bound values of a sync are bitcast to uint8 and concatenated
+# into ONE device buffer, fetched once, and re-viewed on the host.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _pack_u8(arrays):
+    parts = []
+    for a in arrays:
+        if a.dtype == jnp.bool_:
+            a = a.astype(jnp.uint8)
+        if a.ndim == 0:
+            a = a.reshape(1)
+        if a.dtype.itemsize == 1:
+            parts.append(a.reshape(-1).astype(jnp.uint8))
+        else:
+            parts.append(jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1))
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint8)
+
+
+def fetch_bundle(arrays):
+    """device_get a list of arrays (mixed dtypes, incl. bool/scalars) in a
+    single transfer; returns numpy arrays in order."""
+    arrays = list(arrays)
+    if not arrays:
+        return []
+    # pack wide dtypes first so every view offset stays aligned
+    order = sorted(
+        range(len(arrays)),
+        key=lambda i: -np.dtype(
+            np.uint8 if arrays[i].dtype == jnp.bool_ else arrays[i].dtype
+        ).itemsize,
+    )
+    buf = np.asarray(_pack_u8(tuple(arrays[i] for i in order)))
+    out = [None] * len(arrays)
+    off = 0
+    for i in order:
+        a = arrays[i]
+        shape = (1,) if a.ndim == 0 else a.shape
+        if a.dtype == jnp.bool_:
+            n = int(np.prod(shape))
+            v = buf[off:off + n].astype(bool).reshape(shape)
+        else:
+            dt = np.dtype(a.dtype)
+            n = int(np.prod(shape)) * dt.itemsize
+            v = buf[off:off + n].view(dt).reshape(shape)
+        off += n
+        out[i] = v[0] if a.ndim == 0 else v
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -203,7 +287,7 @@ def _compact_probe_shaped(cols, live, out_pad: int):
         jax.lax.associative_scan(jnp.maximum, marker[:out_pad]), 0, n - 1
     )
     live_out = jnp.arange(out_pad, dtype=jnp.int64) < total
-    return tuple((d[src], v[src] & live_out) for d, v in cols)
+    return _gather_cols(cols, src, live_out)
 
 
 def _shrink_node(res: _NodeResult, total: int) -> _NodeResult:
@@ -284,7 +368,7 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
         ):
             continue
         syncs += 1
-        totals = jax.device_get([results[i].total_dev for i in wave])
+        totals = fetch_bundle([results[i].total_dev for i in wave])
         for idx, t in zip(wave, (int(x) for x in totals)):
             res = results[idx]
             if res.compacted and t > res.pad:
@@ -309,13 +393,15 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
             int(a.shape[0]) * a.dtype.itemsize for a in root_arrays
         )
         prefetch_root = root_bytes <= (4 << 20)
-        bundle = jax.device_get((
-            [results[i].total_dev for i in fetch_ids],
-            root_arrays if prefetch_root else (),
-        ))
-        for i, t in zip(fetch_ids, bundle[0]):
+        flat = [results[i].total_dev for i in fetch_ids] + (
+            list(root_arrays) if prefetch_root else []
+        )
+        fetched = fetch_bundle(flat)
+        for i, t in zip(fetch_ids, fetched):
             totals_by_node[i] = int(t)
-        prefetched = bundle[1] if prefetch_root else None
+        prefetched = (
+            tuple(fetched[len(fetch_ids):]) if prefetch_root else None
+        )
 
         # residual overflow fixup (only never-synced, i.e. small, nodes)
         bad = [
@@ -501,7 +587,7 @@ def fetch_root(
         fetch_pad = min(join_ops.bucket_size(max(total, 1)), root.pad)
         if fetch_pad < root.pad:
             arrays = _slice_cols(arrays, fetch_pad)
-        host_arrays = jax.device_get(arrays)
+        host_arrays = fetch_bundle(list(arrays))
     k = len(root.cols)
     datas, valids = host_arrays[:k], host_arrays[k:]
 
