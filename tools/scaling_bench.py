@@ -128,12 +128,12 @@ def main():
         results.append(json.loads(line[0][len("CHILD_RESULT "):]))
 
     base = results[0]["probe_rows_per_s"] if results else 1.0
-    print("NOTE: virtual CPU mesh — all 'devices' share the host cores "
-          "(XLA CPU already uses every core at ndev=1), so wall-clock "
-          "efficiency here reflects host saturation, not ICI scaling. "
-          "Per-device work is constant by construction "
-          "(send/recv buffers are ndev x cf*L/ndev = cf*L); run on a "
-          "pod slice for hardware numbers.")
+    print(f"NOTE: virtual CPU mesh on {os.cpu_count()} host core(s) — all "
+          "'devices' share them (XLA CPU already uses every core at "
+          "ndev=1), so wall-clock efficiency here reflects host "
+          "saturation, not ICI scaling. Per-device work is constant by "
+          "construction (send/recv buffers are ndev x cf*L/ndev = cf*L); "
+          "run on a pod slice for hardware numbers.")
     print(f"{'ndev':>5} {'probe rows':>12} {'out rows':>10} {'ms':>9} "
           f"{'Mrows/s':>9} {'eff':>6}")
     for r in results:
