@@ -286,6 +286,120 @@ def join_unique_impl(
     return bidx, found, total
 
 
+def join_unique_scatter_impl(
+    build_keys: jnp.ndarray,
+    build_valid: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    probe_valid: jnp.ndarray,
+    base: jnp.ndarray,
+    r_pad: int,
+):
+    """Sort-free FK->PK join via a dense key-range table.
+
+    Applicable when the build side is *unique* (see
+    :func:`join_unique_impl`) and its valid keys are known to lie in a
+    static window ``[base, base + r_pad)`` — true for every FK->PK join in
+    JOB, whose PK columns are dense integer ids (the executor derives the
+    window from host-side column stats of the build scan). Instead of
+    ordering anything, scatter each build row id into ``slots[key - base]``
+    and look probes up with one gather:
+
+        memset(r_pad) + scatter(B) + gather(P)
+
+    — pure HBM-bandwidth work, replacing the build sort + co-sorted
+    searchsorted of :func:`join_unique_impl` (bitonic ``lax.sort`` is
+    O(log^2) passes on TPU and dominates mid-size joins). ``base`` is a
+    traced scalar so one compiled program serves every query that shares
+    shapes; only ``r_pad`` is static. Sort-free programs also compile ~40x
+    faster. Semantics match join_unique_impl exactly: NULL/invalid keys on
+    either side never match (reference src/execute.cpp:62-83); out-of-window
+    probe keys cannot match by construction.
+
+    Returns ``(bidx, found, total)`` — probe-shaped, like join_unique_impl.
+    """
+    bp = build_keys.shape[0]
+    # Window offsets fit i32 by construction (r_pad <= 2^26); do index
+    # math in i32 — i64 vectors are emulated as hi/lo planes on TPU.
+    off_b64 = build_keys.astype(jnp.int64) - base
+    # invalid rows (incl. padding) -> r_pad, dropped by the scatter; all
+    # *valid* build keys are in-window by construction of the caller.
+    off_b = jnp.where(
+        build_valid, jnp.clip(off_b64, 0, r_pad), r_pad
+    ).astype(jnp.int32)
+    slots = jnp.full(r_pad, -1, jnp.int32)
+    slots = slots.at[off_b].set(
+        jnp.arange(bp, dtype=jnp.int32), mode="drop"
+    )
+    off_p64 = probe_keys.astype(jnp.int64) - base
+    in_window = (off_p64 >= 0) & (off_p64 < r_pad)
+    off_p = jnp.clip(off_p64, 0, r_pad - 1).astype(jnp.int32)
+    hit = slots[off_p]
+    found = probe_valid & in_window & (hit >= 0)
+    bidx = jnp.where(found, hit, 0)
+    total = jnp.sum(found.astype(jnp.int64))
+    return bidx, found, total
+
+
+def join_csr_impl(
+    counts_w: jnp.ndarray,
+    starts_w: jnp.ndarray,
+    grouped: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    probe_valid: jnp.ndarray,
+    base: jnp.ndarray,
+    s_pad: int,
+):
+    """Sort-free general join against a host-pregrouped build side.
+
+    The executor detects joins whose build child is a base-table scan and
+    precomputes — once per column, on the host with numpy, memoized — a
+    CSR index over the build key window ``[base, base + r_pad)``:
+
+      * ``counts_w`` (r_pad,) i32 — valid build rows per key offset
+      * ``starts_w`` (r_pad,) i32 — exclusive prefix sum of counts_w
+      * ``grouped``  (g_pad,) i32 — build row ids grouped by key offset
+
+    The device side is then pure gather/scan work — no ``lax.sort``
+    anywhere (bitonic sort passes dominate general joins on TPU, and
+    sort-free programs compile ~40x faster on the remote-compile backend):
+    per probe, ``count/start = counts_w/starts_w[key - base]``; expansion
+    reuses the scatter-max owner recovery of :func:`join_expand_impl` and
+    maps within-run offsets through ``grouped``. Unlike the unique scatter
+    table (:func:`join_unique_scatter_impl`) duplicates are fully
+    supported; semantics match :func:`join_merge_impl` exactly (NULL keys
+    never match, reference src/execute.cpp:62-83). Out-of-window probe
+    keys have no matches by construction.
+
+    Returns ``(bidx, pidx, live, total)`` in the ``s_pad`` bucket.
+    """
+    r_pad = counts_w.shape[0]
+    pp = probe_keys.shape[0]
+    off_p64 = probe_keys.astype(jnp.int64) - base
+    in_window = probe_valid & (off_p64 >= 0) & (off_p64 < r_pad)
+    off_p = jnp.clip(off_p64, 0, r_pad - 1).astype(jnp.int32)
+    cnt = jnp.where(in_window, counts_w[off_p], 0).astype(jnp.int64)
+    start = starts_w[off_p].astype(jnp.int64)
+    offsets = jnp.cumsum(cnt) - cnt
+    total = jnp.sum(cnt)
+    # owner recovery (same as join_expand_impl): scatter each emitting
+    # probe's id at its output start, running max fills the run
+    starts_out = jnp.where(cnt > 0, offsets, s_pad)
+    marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
+    marker = marker.at[starts_out].max(
+        jnp.arange(pp, dtype=jnp.int32), mode="drop"
+    )
+    pidx = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
+    pidx = jnp.clip(pidx, 0, pp - 1).astype(jnp.int64)
+    j = jnp.arange(s_pad, dtype=jnp.int64)
+    within = j - offsets[pidx]
+    gpos = jnp.clip(start[pidx] + within, 0, grouped.shape[0] - 1)
+    bidx = grouped[gpos]
+    live = j < total
+    bidx = jnp.where(live, bidx, 0).astype(jnp.int32)
+    pidx = jnp.where(live, pidx, 0).astype(jnp.int32)
+    return bidx, pidx, live, total
+
+
 join_count = jax.jit(join_count_impl)
 join_expand = jax.jit(join_expand_impl, static_argnames=("s_pad",))
 

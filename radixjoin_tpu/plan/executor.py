@@ -131,6 +131,127 @@ def _join_unique(kb, vb, kp, vp, bcols):
     return out_b, found, total
 
 
+@functools.lru_cache(maxsize=None)
+def _dev_scalar_i64(v: int):
+    """Device-resident i64 scalar, cached by value. A fresh numpy scalar
+    argument would cost one synchronous H2D transfer through the axon
+    tunnel (~10 ms RTT) on *every* jitted call; distinct join-key window
+    bases across the whole JOB suite number only in the dozens."""
+    return jax.device_put(jnp.int64(v))
+
+
+@functools.partial(jax.jit, static_argnames=("r_pad",))
+def _join_unique_scatter(kb, vb, kp, vp, base, bcols, r_pad: int):
+    """Sort-free FK->PK fast path: dense key-window slot table
+    (ops/join.py join_unique_scatter_impl) — memset + scatter + gather
+    instead of bitonic sorts. Probe-shaped like _join_unique."""
+    bidx, found, total = join_ops.join_unique_scatter_impl(
+        kb, vb, kp, vp, base, r_pad
+    )
+    out_b = _gather_cols(bcols, bidx, found)
+    return out_b, found, total
+
+
+def _unique_scatter_window(plan: Plan, j, battr: int, bpad: int, ppad: int):
+    """Static key window (base, r_pad) for the scatter unique join, from
+    host-side stats of the build scan's key column — _detect_unique_joins
+    guarantees the build child is a scan, so the column is a base host
+    column and the window costs one memoized numpy min/max.
+
+    Returns None when the scatter path shouldn't be used (disabled, or the
+    key window is too sparse relative to the join size for the dense slot
+    table to beat the sort path).
+
+    Default **sort** for now: standalone the scatter kernel is strictly
+    faster (27 ms RTT-bound vs sort passes) and the CPU suite is exact,
+    but full-suite TPU A/B runs through the axon tunnel hit nondeterministic
+    multi-minute execution stalls (also reproduced with this path disabled
+    — the shared tunnel service degrades under load), so the measured win
+    isn't yet trustworthy. Enable with RJT_UNIQUE_JOIN=auto|scatter."""
+    import os
+
+    mode = os.environ.get("RJT_UNIQUE_JOIN", "sort")
+    if mode == "sort":
+        return None
+    build_child = plan.nodes[j.left if j.build_left else j.right]
+    col_idx, _dt = build_child.output_attrs[battr]
+    hcol = plan.inputs[build_child.data.base_table_id].to_host().columns[col_idx]
+    rng = hcol.valid_range()
+    if rng is None:
+        return 0, join_ops.MIN_BUCKET  # no valid build rows -> no matches
+    base, hi = rng
+    r_pad = join_ops.bucket_size(hi - base + 1)
+    if r_pad > (1 << 26):
+        return None  # cap the slot table at 256 MiB of HBM
+    if mode != "scatter" and r_pad > max(1 << 20, 32 * (bpad + ppad)):
+        return None  # window too sparse vs the sort cost
+    return base, r_pad
+
+
+@functools.partial(jax.jit, static_argnames=("s_pad",))
+def _join_general_csr(
+    counts_w, starts_w, grouped, kp, vp, base, bcols, pcols, s_pad: int
+):
+    """Sort-free general join against a host-pregrouped (CSR) build scan
+    (ops/join.py join_csr_impl): window gathers + one cumsum + the
+    scatter-max expansion — no ``lax.sort``. Same contract as
+    _join_general_merge."""
+    bidx, pidx, live, total = join_ops.join_csr_impl(
+        counts_w, starts_w, grouped, kp, vp, base, s_pad
+    )
+    out_b = _gather_cols(bcols, bidx, live)
+    out_p = _gather_cols(pcols, pidx, live)
+    return out_b, out_p, live, total
+
+
+def _csr_device(hcol):
+    """Upload memo for a column's CSR index: one transfer per process."""
+    dev = getattr(hcol, "_csr_dev_memo", None)
+    if dev is None:
+        idx = hcol.csr_index()
+        if idx is None:
+            dev = (None,)
+        else:
+            base, counts_w, starts_w, grouped = idx
+            dev = (
+                _dev_scalar_i64(base),
+                jax.device_put(counts_w),
+                jax.device_put(starts_w),
+                jax.device_put(grouped),
+            )
+        object.__setattr__(hcol, "_csr_dev_memo", dev)
+    return None if dev == (None,) else dev
+
+
+def _general_csr_index(plan: Plan, j, battr: int, bpad: int, ppad: int):
+    """Device CSR index for a general join whose build child is a base
+    scan, or None to use the sort path (disabled, non-scan build, non-int
+    key, or a key window too sparse for the dense tables to win).
+
+    Default **off** for now, same reason as _unique_scatter_window: exact
+    on the CPU suite, kernel verified standalone on TPU, but full-suite
+    TPU timing is blocked on tunnel-service stalls. Enable with
+    RJT_CSR_JOIN=auto|force."""
+    import os
+
+    mode = os.environ.get("RJT_CSR_JOIN", "off")
+    if mode == "off":
+        return None
+    build_child = plan.nodes[j.left if j.build_left else j.right]
+    if not isinstance(build_child.data, ScanNode):
+        return None
+    col_idx, dt = build_child.output_attrs[battr]
+    if dt not in (DataType.INT32, DataType.INT64):
+        return None
+    hcol = plan.inputs[build_child.data.base_table_id].to_host().columns[col_idx]
+    rng = hcol.valid_range()
+    if rng is not None and mode != "force":
+        r = join_ops.bucket_size(rng[1] - rng[0] + 1)
+        if r > max(1 << 20, 32 * (bpad + ppad)):
+            return None  # window too sparse vs the sort cost
+    return _csr_device(hcol)
+
+
 _BLOCK_JOIN_MAX_BUILD = 1024
 
 
@@ -529,7 +650,15 @@ def _run_join(
         DataType.INT32, DataType.INT64
     )
     if unique and buckets.get(idx) is None:
-        if _block_join_enabled(kb.shape[0]):
+        window = _unique_scatter_window(
+            plan, j, battr, kb.shape[0], kp.shape[0]
+        )
+        if window is not None:
+            base, r_pad = window
+            out_b, found, total = _join_unique_scatter(
+                kb, vb, kp, vp, _dev_scalar_i64(base), tuple(bcols), r_pad
+            )
+        elif _block_join_enabled(kb.shape[0]):
             out_b, found, total = _join_unique_block(
                 kb, vb, kp, vp, tuple(bcols)
             )
@@ -541,9 +670,17 @@ def _run_join(
         live = found
     else:
         out_pad = buckets.get(idx) or probe.pad
-        out_b, out_p, _live, total = _general_impl()(
-            kb, vb, kp, vp, tuple(bcols), tuple(pcols), out_pad
-        )
+        csr = _general_csr_index(plan, j, battr, kb.shape[0], kp.shape[0])
+        if csr is not None:
+            base, counts_w, starts_w, grouped = csr
+            out_b, out_p, _live, total = _join_general_csr(
+                counts_w, starts_w, grouped, kp, vp, base,
+                tuple(bcols), tuple(pcols), out_pad,
+            )
+        else:
+            out_b, out_p, _live, total = _general_impl()(
+                kb, vb, kp, vp, tuple(bcols), tuple(pcols), out_pad
+            )
         pad = out_pad
         compacted = True
         live = None

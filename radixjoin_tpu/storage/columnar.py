@@ -134,6 +134,14 @@ class HostColumn:
     _unique: Optional[bool] = dataclasses.field(
         default=None, repr=False, compare=False
     )
+    #: memo for valid_range ("unset" = not yet computed)
+    _range: object = dataclasses.field(
+        default="unset", repr=False, compare=False
+    )
+    #: memo for csr_index ("unset" = not yet computed)
+    _csr: object = dataclasses.field(
+        default="unset", repr=False, compare=False
+    )
 
     def is_unique_key(self, max_check_rows: int = 1 << 22) -> bool:
         """True iff all *valid* values are pairwise distinct.
@@ -159,6 +167,69 @@ class HostColumn:
                 else:
                     self._unique = len(np.unique(vals)) == len(vals)
         return self._unique
+
+    def valid_range(self):
+        """(min, max) over *valid* values, or None if no valid rows.
+
+        Int columns only. Memoized; drives the static key-window size of
+        the scatter-table FK->PK join (ops/join.py
+        join_unique_scatter_impl).
+        """
+        if self._range == "unset":
+            if self.dtype not in (DataType.INT32, DataType.INT64):
+                self._range = None
+            else:
+                vals = self.values[self.valid]
+                self._range = (
+                    (int(vals.min()), int(vals.max())) if len(vals) else None
+                )
+        return self._range
+
+    def csr_index(self, max_window: int = 1 << 25):
+        """CSR grouping of row ids by key value over the valid window.
+
+        Returns ``(base, counts_w, starts_w, grouped)`` — all numpy, sizes
+        pow2-padded so the executor can upload them directly as
+        shape-shared device operands (ops/join.py join_csr_impl):
+
+          * ``counts_w[k]`` = number of valid rows with value ``base + k``
+          * ``starts_w`` = exclusive prefix sum of ``counts_w``
+          * ``grouped`` = row ids ordered by value (ties in row order)
+
+        or None for non-int columns / windows wider than ``max_window``
+        (the dense window tables would not pay for themselves). Memoized:
+        base tables shared across the query suite compute this once. This
+        is the reference's radix-partition + per-bucket hash build
+        (src/execute.cpp:124-223) collapsed to its dense-key limit, done
+        once on the host instead of per query on the device.
+        """
+        if self._csr == "unset":
+            self._csr = self._csr_compute(max_window)
+        return self._csr
+
+    def _csr_compute(self, max_window: int):
+        def pow2(n, minimum=128):
+            n = max(int(n), minimum)
+            return 1 << (n - 1).bit_length()
+
+        rng = self.valid_range()
+        if self.dtype not in (DataType.INT32, DataType.INT64):
+            return None
+        if rng is None:  # no valid rows: nothing ever matches
+            z = np.zeros(128, np.int32)
+            return 0, z, z, z
+        base, hi = rng
+        if hi - base + 1 > max_window:
+            return None
+        r_pad = pow2(hi - base + 1)
+        off = (self.values.astype(np.int64) - base)[self.valid]
+        counts_w = np.bincount(off, minlength=r_pad).astype(np.int32)
+        starts_w = (np.cumsum(counts_w) - counts_w).astype(np.int32)
+        order = np.argsort(off, kind="stable").astype(np.int32)
+        row_ids = np.flatnonzero(self.valid).astype(np.int32)
+        grouped = np.zeros(pow2(len(off)), np.int32)
+        grouped[: len(off)] = row_ids[order]
+        return base, counts_w, starts_w, grouped
 
     def __post_init__(self):
         if self.dtype is DataType.VARCHAR and self.heap is None:

@@ -41,3 +41,22 @@ def test_job_query(setup, name):
         name, verify=True, sqlite_oracle=sqlite_oracle
     )
     assert correct, f"{name}: {detail}"
+
+
+@pytest.mark.parametrize("env", [
+    {"RJT_UNIQUE_JOIN": "auto"},
+    {"RJT_CSR_JOIN": "auto"},
+    {"RJT_UNIQUE_JOIN": "auto", "RJT_CSR_JOIN": "auto"},
+])
+@pytest.mark.parametrize("name", ["1a", "8d", "16b", "29a"])
+def test_job_query_sortfree_paths(setup, monkeypatch, env, name):
+    """The sort-free fast paths (dense-window scatter FK->PK join,
+    host-CSR general join) are opt-in (see plan/executor.py gates); force
+    them here so the oracle cross-check covers those executor paths too."""
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    harness, sqlite_oracle = setup
+    result, runtime_ms, correct, detail = harness.run_query(
+        name, verify=True, sqlite_oracle=sqlite_oracle
+    )
+    assert correct, f"{name} with {env}: {detail}"

@@ -240,3 +240,121 @@ def test_unique_key_memo():
     sorted_col = HostColumn(DataType.INT64, np.arange(100, dtype=np.int64),
                             np.ones(100, bool))
     assert sorted_col.is_unique_key()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_unique_scatter_kernel_matches_sort_path(seed):
+    """join_unique_scatter_impl == join_unique_impl on unique build keys,
+    incl. NULLs on both sides, out-of-window probe keys, negative keys."""
+    import jax.numpy as jnp
+    from radixjoin_tpu.ops import join as join_ops
+
+    rng = np.random.default_rng(seed)
+    nb, npr = 200, 1500
+    bk = rng.permutation(np.arange(-50, 400, dtype=np.int64))[:nb]
+    bv = rng.random(nb) > 0.1
+    pk = rng.integers(-200, 700, npr).astype(np.int64)  # many out-of-window
+    pv = rng.random(npr) > 0.1
+    # adversarial: an invalid build row duplicating a valid row's key
+    bk[0] = bk[1]
+    bv[0] = False
+
+    bpad = join_ops.bucket_size(nb)
+    ppad = join_ops.bucket_size(npr)
+    kb = join_ops.pad_1d(jnp.asarray(bk), bpad)
+    vb = join_ops.pad_1d(jnp.asarray(bv), bpad)
+    kp = join_ops.pad_1d(jnp.asarray(pk), ppad)
+    vp = join_ops.pad_1d(jnp.asarray(pv), ppad)
+
+    valid_vals = bk[bv]
+    base = int(valid_vals.min())
+    r_pad = join_ops.bucket_size(int(valid_vals.max()) - base + 1)
+    bidx_s, found_s, total_s = join_ops.join_unique_scatter_impl(
+        kb, vb, kp, vp, np.int64(base), r_pad
+    )
+    bidx_r, found_r, total_r = join_ops.join_unique_impl(kb, vb, kp, vp)
+    assert int(total_s) == int(total_r)
+    np.testing.assert_array_equal(np.asarray(found_s), np.asarray(found_r))
+    f = np.asarray(found_r)
+    np.testing.assert_array_equal(np.asarray(bidx_s)[f], np.asarray(bidx_r)[f])
+    # and both match the host reference join
+    got = sorted(
+        (int(b), int(p))
+        for b, p in zip(
+            np.asarray(bidx_s)[f], np.nonzero(f)[0]
+        )
+    )
+    assert got == ref_join(bk, bv, pk, pv)
+
+
+def test_valid_range_memo():
+    col = HostColumn(
+        DataType.INT32,
+        np.array([7, -3, 100, 5], np.int32),
+        np.array([True, True, False, True]),
+    )
+    assert col.valid_range() == (-3, 7)  # invalid 100 excluded
+    empty = HostColumn(DataType.INT32, np.array([9], np.int32),
+                       np.array([False]))
+    assert empty.valid_range() is None
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_csr_join_kernel_matches_merge_path(seed):
+    """join_csr_impl == join_merge_impl: duplicates on both sides, NULLs,
+    out-of-window probe keys, negative keys, zero-count probes."""
+    import jax.numpy as jnp
+    from radixjoin_tpu.ops import join as join_ops
+    from radixjoin_tpu.storage.columnar import HostColumn
+
+    rng = np.random.default_rng(seed)
+    nb, npr = 300, 900
+    bk = rng.integers(-40, 120, nb).astype(np.int64)  # heavy duplicates
+    bv = rng.random(nb) > 0.15
+    pk = rng.integers(-200, 400, npr).astype(np.int64)  # many out-of-window
+    pv = rng.random(npr) > 0.1
+
+    hcol = HostColumn(DataType.INT64, bk, bv)
+    base, counts_w, starts_w, grouped = hcol.csr_index()
+
+    ppad = join_ops.bucket_size(npr)
+    kp = join_ops.pad_1d(jnp.asarray(pk), ppad)
+    vp = join_ops.pad_1d(jnp.asarray(pv), ppad)
+
+    expected = ref_join(bk, bv, pk, pv)
+    s_pad = join_ops.bucket_size(len(expected))
+    bidx, pidx, live, total = join_ops.join_csr_impl(
+        jnp.asarray(counts_w), jnp.asarray(starts_w), jnp.asarray(grouped),
+        kp, vp, jnp.int64(base), s_pad,
+    )
+    assert int(total) == len(expected)
+    lv = np.asarray(live)
+    got = sorted(zip(np.asarray(bidx)[lv].tolist(),
+                     np.asarray(pidx)[lv].tolist()))
+    assert got == expected
+
+
+def test_csr_index_memo_and_gates():
+    # empty-valid column: sentinel empty index, never matches
+    empty = HostColumn(DataType.INT32, np.array([9], np.int32),
+                       np.array([False]))
+    base, counts_w, _s, _g = empty.csr_index()
+    assert base == 0 and counts_w.sum() == 0
+    # non-int column: None
+    f = HostColumn(DataType.FP64, np.array([1.5]), np.array([True]))
+    assert f.csr_index() is None
+    # window wider than cap: None
+    wide = HostColumn(
+        DataType.INT64, np.array([0, 1 << 40], np.int64), np.ones(2, bool)
+    )
+    assert wide.csr_index() is None
+    # grouping correctness with duplicates + invalid rows
+    col = HostColumn(
+        DataType.INT32,
+        np.array([7, 5, 7, 6, 5], np.int32),
+        np.array([True, True, True, False, True]),
+    )
+    base, counts_w, starts_w, grouped = col.csr_index()
+    assert base == 5
+    assert counts_w[:3].tolist() == [2, 0, 2]  # keys 5,6,7 (6: invalid only)
+    assert grouped[:4].tolist() == [1, 4, 0, 2]  # 5s in row order, then 7s
