@@ -25,6 +25,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..dtypes import NULL, DataType, PAGE_SIZE, is_null
+from . import host_pool
 from . import page as page_codec
 
 
@@ -304,29 +305,37 @@ class ColumnarTable:
 
     @staticmethod
     def from_host(table: "HostTable") -> "ColumnarTable":
-        cols = []
-        for c in table.columns:
+        # column-parallel page encode (reference: to_columnar drives
+        # per-column save_page tasks through filter_tp,
+        # build_table.cpp:438-681); the codec is ctypes -> GIL-free
+        def enc(c: "HostColumn") -> Column:
             if c.dtype is DataType.VARCHAR:
                 pages = page_codec.encode_varchar_heap(c.heap, c.ends, c.valid)
             else:
                 pages = page_codec.encode_fixed(c.values, c.valid, c.dtype)
-            cols.append(Column(c.dtype, pages))
+            return Column(c.dtype, pages)
+
+        cols = host_pool.parallel_map(enc, table.columns)
         return ColumnarTable(table.num_rows, cols, _host=table)
 
     def to_host(self) -> "HostTable":
         if self._host is not None:
             return self._host
-        cols = []
-        for c in self.columns:
+
+        # column-parallel page decode (reference: Table::from_columnar
+        # fans columns out over filter_tp, build_table.cpp:306-436)
+        def dec(c: Column) -> "HostColumn":
             if c.type is DataType.VARCHAR:
                 heap, ends, valid = page_codec.decode_varchar_heap(
                     c.pages, self.num_rows
                 )
-                cols.append(HostColumn.varchar(heap, ends, valid))
-            else:
-                values, valid = page_codec.decode_fixed(c.pages, self.num_rows, c.type)
-                cols.append(HostColumn(c.type, values, valid))
-        self._host = HostTable(self.num_rows, cols)
+                return HostColumn.varchar(heap, ends, valid)
+            values, valid = page_codec.decode_fixed(c.pages, self.num_rows, c.type)
+            return HostColumn(c.type, values, valid)
+
+        self._host = HostTable(
+            self.num_rows, host_pool.parallel_map(dec, self.columns)
+        )
         return self._host
 
 
@@ -390,6 +399,32 @@ class HostTable:
 
     def type_signature(self) -> List[DataType]:
         return [c.dtype for c in self.columns]
+
+    def pretty(self, max_rows: int = 20) -> str:
+        """Human-readable table dump for debugging (reference
+        ``Table::print``, include/table.h:38-79): one aligned row per
+        line, ``NULL`` for invalid cells, truncated past ``max_rows``."""
+        head = [c.dtype.name for c in self.columns]
+        rows = self.to_rows()[:max_rows]
+        body = [
+            [
+                "NULL" if is_null(v)
+                else v.decode("latin-1", "replace") if isinstance(v, bytes)
+                else str(v)
+                for v in r
+            ]
+            for r in rows
+        ]
+        widths = [
+            max(len(head[j]), *(len(b[j]) for b in body)) if body else len(head[j])
+            for j in range(len(head))
+        ]
+        lines = ["  ".join(h.ljust(w) for h, w in zip(head, widths))]
+        for b in body:
+            lines.append("  ".join(v.ljust(w) for v, w in zip(b, widths)))
+        if self.num_rows > max_rows:
+            lines.append(f"... ({self.num_rows - max_rows} more rows)")
+        return "\n".join(lines)
 
 
 def sorted_rows(rows: List[tuple]) -> List[tuple]:

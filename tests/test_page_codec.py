@@ -166,3 +166,60 @@ def test_reference_decoder_compat_fixed():
     np.testing.assert_array_equal(bits, valid)
     data = page[4 : 4 + nv * 4].view(np.int32)
     np.testing.assert_array_equal(data, values[valid])
+
+
+def test_host_pool_parallel_codec_round_trip():
+    """Column-parallel encode/decode (host_pool) is bit-identical to the
+    serial path (RJT_HOST_THREADS=0)."""
+    import os
+    import numpy as np
+    from radixjoin_tpu.dtypes import DataType
+    from radixjoin_tpu.storage.columnar import ColumnarTable, HostColumn, HostTable
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    cols = [
+        HostColumn(DataType.INT32, rng.integers(-9, 9, n).astype(np.int32),
+                   rng.random(n) > 0.2),
+        HostColumn(DataType.INT64, rng.integers(0, 1 << 40, n).astype(np.int64),
+                   rng.random(n) > 0.2),
+        HostColumn(DataType.FP64, rng.random(n), rng.random(n) > 0.2),
+    ]
+    strs = np.empty(n, dtype=object)
+    strs[:] = [b"x" * int(k) for k in rng.integers(0, 50, n)]
+    strs[0] = b"y" * 20000  # long-string page chain
+    cols.append(HostColumn(DataType.VARCHAR, strs, rng.random(n) > 0.2))
+    table = HostTable(n, cols)
+
+    paged = ColumnarTable.from_host(table)
+    paged._host = None  # force a real decode
+    rows_par = paged.to_host().to_rows()
+
+    os.environ["RJT_HOST_THREADS"] = "0"
+    try:
+        paged2 = ColumnarTable.from_host(table)
+        paged2._host = None
+        rows_ser = paged2.to_host().to_rows()
+    finally:
+        del os.environ["RJT_HOST_THREADS"]
+    assert rows_par == rows_ser
+    for pa, pb in zip(
+        (pg for c in paged.columns for pg in c.pages),
+        (pg for c in paged2.columns for pg in c.pages),
+    ):
+        assert bytes(pa) == bytes(pb)
+
+
+def test_pretty_print():
+    import numpy as np
+    from radixjoin_tpu.dtypes import DataType
+    from radixjoin_tpu.storage.columnar import HostColumn, HostTable
+
+    t = HostTable(2, [
+        HostColumn(DataType.INT32, np.array([1, 2], np.int32),
+                   np.array([True, False])),
+        HostColumn(DataType.VARCHAR, np.array([b"ab", b"c"], object),
+                   np.array([True, True])),
+    ])
+    s = t.pretty()
+    assert "INT32" in s and "NULL" in s and "ab" in s
