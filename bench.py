@@ -37,6 +37,56 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_partial = {"per_query": {}, "stage": "init", "result_rows": 0}
+
+
+def _emit(total_ms, scale, n_queries, partial=False):
+    scaled_baseline = BASELINE_TOTAL_MS * scale
+    detail = {
+        "queries": n_queries,
+        "result_rows": int(_partial["result_rows"]),
+        "scaled_baseline_ms": round(scaled_baseline, 1),
+        "slowest": sorted(
+            _partial["per_query"].items(), key=lambda kv: -kv[1]
+        )[:5],
+    }
+    if partial:
+        detail["partial"] = f"watchdog fired during {_partial['stage']}"
+    print(json.dumps({
+        "metric": f"job113_synthetic_sf{scale}_total_ms",
+        "value": round(total_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(scaled_baseline / total_ms, 3) if total_ms else 0.0,
+        "detail": detail,
+    }), flush=True)
+
+
+def _arm_watchdog(scale, n_queries):
+    """The tunneled TPU backend intermittently stalls executions for
+    minutes to hours (see memory/ARCHITECTURE notes, 2026-08-17). If the
+    suite cannot finish inside BENCH_DEADLINE_S (default 55 min), emit
+    whatever was measured as an explicitly-partial result instead of
+    hanging until the driver kills us with nothing recorded."""
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "3300"))
+
+    def fire():
+        timed = {
+            k: v for k, v in _partial["per_query"].items() if v is not None
+        }
+        log(f"bench: WATCHDOG after {deadline:.0f}s in stage "
+            f"'{_partial['stage']}' ({len(timed)}/{n_queries} queries timed)")
+        total = sum(timed.values())
+        _emit(total if timed else 0.0, scale, len(timed), partial=True)
+        os._exit(3)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     scale = float(os.environ.get("BENCH_SCALE", "0.01"))
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
@@ -50,7 +100,9 @@ def main():
     if os.environ.get("BENCH_QUERIES"):
         names = [n for n in os.environ["BENCH_QUERIES"].split(",") if n]
 
+    _arm_watchdog(scale, len(names))
     log(f"bench: devices={jax.devices()} scale={scale} queries={len(names)}")
+    _partial["stage"] = "datagen"
     t0 = time.perf_counter()
     queries = datagen.load_job_queries(SQL_DIR, names_all)
     gen = datagen.SyntheticIMDB(scale=scale, seed=0, queries=queries)
@@ -64,6 +116,7 @@ def main():
     # Pre-build plans once (filter eval + page encode are harness-side,
     # excluded from timing like the reference's CSV/plan phase).
     plans = {}
+    _partial["stage"] = "plan build"
     t0 = time.perf_counter()
     for name in names:
         plans[name] = harness.build_plan(name)[1]
@@ -77,24 +130,25 @@ def main():
     # program costs ~15s to compile regardless of size), so a cold cache
     # fills in minutes instead of hours. Results are discarded.
     warm_threads = int(os.environ.get("BENCH_WARMUP_THREADS", "8"))
-    total_rows = 0
     if warm_threads > 0:
         import concurrent.futures as cf
 
+        _partial["stage"] = "warmup"
         t_w = time.perf_counter()
         rows_by_name = {}
 
         def warm(name):
             rows_by_name[name] = execute(plans[name], harness.context).num_rows
+            _partial["result_rows"] += rows_by_name[name]
 
         with cf.ThreadPoolExecutor(warm_threads) as ex:
             list(ex.map(warm, names))
-        total_rows = sum(rows_by_name.values())
         log(f"bench: warmup ({warm_threads} threads) took "
             f"{time.perf_counter()-t_w:.1f}s")
 
-    per_query = {}
+    per_query = _partial["per_query"]
     for it in range(max(1, repeat)):
+        _partial["stage"] = f"pass {it}"
         t_iter = time.perf_counter()
         for name in names:
             t0 = time.perf_counter()
@@ -103,24 +157,11 @@ def main():
             prev = per_query.get(name)
             per_query[name] = dt if prev is None else min(prev, dt)
             if it == 0 and warm_threads <= 0:
-                total_rows += result.num_rows
+                _partial["result_rows"] += result.num_rows
         log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s")
 
-    total_ms = sum(per_query.values())
-    scaled_baseline = BASELINE_TOTAL_MS * scale
-    result = {
-        "metric": f"job113_synthetic_sf{scale}_total_ms",
-        "value": round(total_ms, 2),
-        "unit": "ms",
-        "vs_baseline": round(scaled_baseline / total_ms, 3),
-        "detail": {
-            "queries": len(names),
-            "result_rows": int(total_rows),
-            "scaled_baseline_ms": round(scaled_baseline, 1),
-            "slowest": sorted(per_query.items(), key=lambda kv: -kv[1])[:5],
-        },
-    }
-    print(json.dumps(result), flush=True)
+    _partial["stage"] = "done"
+    _emit(sum(per_query.values()), scale, len(names))
 
 
 if __name__ == "__main__":

@@ -132,7 +132,20 @@ def main(argv=None):
                              "when every verified query is correct (the "
                              "reference's BENCHMARK_RUNTIME.txt protocol, "
                              "tests/read_sql.cpp:1319-1323)")
+    parser.add_argument("--platform", choices=["cpu", "tpu", "default"],
+                        default="default",
+                        help="force the JAX backend. NOTE: in this "
+                             "environment the axon TPU plugin registers "
+                             "itself at interpreter start and WINS over the "
+                             "JAX_PLATFORMS env var — only "
+                             "jax.config.update('jax_platforms', ...) "
+                             "before first use actually switches backends, "
+                             "which is what this flag does")
     args = parser.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     with open(args.plans) as f:
         doc = json.load(f)

@@ -162,15 +162,13 @@ def _unique_scatter_window(plan: Plan, j, battr: int, bpad: int, ppad: int):
     key window is too sparse relative to the join size for the dense slot
     table to beat the sort path).
 
-    Default **sort** for now: standalone the scatter kernel is strictly
-    faster (27 ms RTT-bound vs sort passes) and the CPU suite is exact,
-    but full-suite TPU A/B runs through the axon tunnel hit nondeterministic
-    multi-minute execution stalls (also reproduced with this path disabled
-    — the shared tunnel service degrades under load), so the measured win
-    isn't yet trustworthy. Enable with RJT_UNIQUE_JOIN=auto|scatter."""
+    Default **auto**: clean back-to-back A/B on a healthy tunnel
+    (2026-08-17, BENCH_REPEAT=3) measured the full JOB suite at 6446 ms
+    with scatter+CSR vs 6756 ms sort-only — identical result rows.
+    RJT_UNIQUE_JOIN=sort restores the sort path."""
     import os
 
-    mode = os.environ.get("RJT_UNIQUE_JOIN", "sort")
+    mode = os.environ.get("RJT_UNIQUE_JOIN", "auto")
     if mode == "sort":
         return None
     build_child = plan.nodes[j.left if j.build_left else j.right]
@@ -228,13 +226,12 @@ def _general_csr_index(plan: Plan, j, battr: int, bpad: int, ppad: int):
     scan, or None to use the sort path (disabled, non-scan build, non-int
     key, or a key window too sparse for the dense tables to win).
 
-    Default **off** for now, same reason as _unique_scatter_window: exact
-    on the CPU suite, kernel verified standalone on TPU, but full-suite
-    TPU timing is blocked on tunnel-service stalls. Enable with
-    RJT_CSR_JOIN=auto|force."""
+    Default **auto** (see _unique_scatter_window: 6446 ms vs 6756 ms
+    suite A/B with both sort-free paths on). RJT_CSR_JOIN=off restores
+    the merge-sort path."""
     import os
 
-    mode = os.environ.get("RJT_CSR_JOIN", "off")
+    mode = os.environ.get("RJT_CSR_JOIN", "auto")
     if mode == "off":
         return None
     build_child = plan.nodes[j.left if j.build_left else j.right]

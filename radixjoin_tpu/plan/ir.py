@@ -117,6 +117,13 @@ class Plan:
                     raise ValueError(
                         f"node {idx}: input {node.data.base_table_id} out of range"
                     )
+                ncols = len(self.inputs[node.data.base_table_id].columns)
+                for col, _ in node.output_attrs:
+                    if not (0 <= col < ncols):
+                        raise ValueError(
+                            f"node {idx}: scan output attr {col} out of "
+                            f"range [0,{ncols})"
+                        )
 
     def topo_order(self) -> List[int]:
         """Post-order of the tree rooted at ``self.root`` (children first)."""

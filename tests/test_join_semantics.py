@@ -332,3 +332,34 @@ def test_scan_only_plan():
     result = run(plan)
     assert result.num_rows == 2
     assert result_rows(result) == [(b"a", 1), (b"b", NULL)]
+
+
+def test_malformed_plans_raise_value_error():
+    """Malformed plans must fail fast with ValueError at the public
+    boundary (Plan.validate), never an internal IndexError."""
+    import pytest
+
+    inp = make_input([[1], [2]], [I32])
+
+    p = Plan()
+    s = p.new_scan_node(p.new_input(inp.copy()), [(0, I32)])
+    p.root = 99
+    with pytest.raises(ValueError):
+        run(p)
+
+    p = Plan()
+    s = p.new_scan_node(p.new_input(inp.copy()), [(0, I32)])
+    p.nodes[s].output_attrs = [(7, I32)]  # out-of-range scan column
+    p.root = s
+    with pytest.raises(ValueError):
+        run(p)
+
+    p = Plan()
+    s0 = p.new_scan_node(p.new_input(inp.copy()), [(0, I32)])
+    s1 = p.new_scan_node(p.new_input(inp.copy()), [(0, I32)])
+    j = p.new_join_node(True, s0, s1, 0, 0, [(0, I32)])
+    import dataclasses as dc
+    p.nodes[j].data = dc.replace(p.nodes[j].data, left_attr=5)  # bad key
+    p.root = j
+    with pytest.raises(ValueError):
+        run(p)
