@@ -161,6 +161,9 @@ def main():
         log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s")
 
     _partial["stage"] = "done"
+    from radixjoin_tpu.plan import executor as _ex
+
+    log(f"bench: join paths {_ex.path_stats()}")
     _emit(sum(per_query.values()), scale, len(names))
 
 

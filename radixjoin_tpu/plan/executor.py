@@ -221,32 +221,71 @@ def _csr_device(hcol):
     return None if dev == (None,) else dev
 
 
-def _general_csr_index(plan: Plan, j, battr: int, bpad: int, ppad: int):
-    """Device CSR index for a general join whose build child is a base
-    scan, or None to use the sort path (disabled, non-scan build, non-int
-    key, or a key window too sparse for the dense tables to win).
-
-    Default **auto** (see _unique_scatter_window: 6446 ms vs 6756 ms
-    suite A/B with both sort-free paths on). RJT_CSR_JOIN=off restores
-    the merge-sort path."""
-    import os
-
-    mode = os.environ.get("RJT_CSR_JOIN", "auto")
-    if mode == "off":
+def _child_csr_index(plan: Plan, child_idx: int, attr: int,
+                     bpad: int, ppad: int, mode: str):
+    """Device CSR index over one child's key column, or None when that
+    child is not a base scan / non-int key / too-sparse window."""
+    child = plan.nodes[child_idx]
+    if not isinstance(child.data, ScanNode):
         return None
-    build_child = plan.nodes[j.left if j.build_left else j.right]
-    if not isinstance(build_child.data, ScanNode):
-        return None
-    col_idx, dt = build_child.output_attrs[battr]
+    col_idx, dt = child.output_attrs[attr]
     if dt not in (DataType.INT32, DataType.INT64):
         return None
-    hcol = plan.inputs[build_child.data.base_table_id].to_host().columns[col_idx]
+    hcol = plan.inputs[child.data.base_table_id].to_host().columns[col_idx]
     rng = hcol.valid_range()
     if rng is not None and mode != "force":
         r = join_ops.bucket_size(rng[1] - rng[0] + 1)
         if r > max(1 << 20, 32 * (bpad + ppad)):
             return None  # window too sparse vs the sort cost
     return _csr_device(hcol)
+
+
+def _general_csr_index(plan: Plan, j, battr: int, pattr: int,
+                       bpad: int, ppad: int):
+    """CSR index for a general join: ``(index, swapped)`` or None.
+
+    Prefers indexing the build child; when only the *probe* child is a
+    base scan the roles swap (``swapped=True``) — an inner join is a
+    multiset, so which side is dense-indexed is pure strategy, exactly
+    like the reference's free choice of build side (src/execute.cpp
+    build_left). The JOB census (path_stats, 2026-08-17) showed 333 of
+    442 sort-path general joins had a scan on the probe side only, so
+    the swap is what converts the bulk of the remaining sorts.
+
+    Default **auto** (suite A/B 6446 ms vs 6756 ms with the sort-free
+    paths on). RJT_CSR_JOIN=off restores the merge-sort path."""
+    import os
+
+    mode = os.environ.get("RJT_CSR_JOIN", "auto")
+    if mode == "off":
+        return None
+    idx = _child_csr_index(
+        plan, j.left if j.build_left else j.right, battr, bpad, ppad, mode
+    )
+    if idx is not None:
+        return idx, False
+    idx = _child_csr_index(
+        plan, j.right if j.build_left else j.left, pattr, ppad, bpad, mode
+    )
+    if idx is not None:
+        return idx, True
+    return None
+
+
+# Join-path observability: execution strategy counts per process
+# (reference has per-query wall-clock prints only, read_sql.cpp:1243-1246;
+# here the interesting axis is which kernel family each join picked).
+PATH_STATS: Dict[str, int] = {}
+
+
+def _count_path(name: str) -> None:
+    PATH_STATS[name] = PATH_STATS.get(name, 0) + 1
+
+
+def path_stats() -> Dict[str, int]:
+    """Snapshot of join-path counts: unique_scatter / unique_block /
+    unique_sort / general_csr / general_merge / empty_type_mismatch."""
+    return dict(PATH_STATS)
 
 
 _BLOCK_JOIN_MAX_BUILD = 1024
@@ -618,6 +657,7 @@ def _run_join(
         out_sources.append((from_build, child_ci))
 
     if keys is None:
+        _count_path("empty_type_mismatch")
         pad = join_ops.bucket_size(0)
         zero = jnp.zeros((), jnp.int64)
         cols = []
@@ -651,15 +691,18 @@ def _run_join(
             plan, j, battr, kb.shape[0], kp.shape[0]
         )
         if window is not None:
+            _count_path("unique_scatter")
             base, r_pad = window
             out_b, found, total = _join_unique_scatter(
                 kb, vb, kp, vp, _dev_scalar_i64(base), tuple(bcols), r_pad
             )
         elif _block_join_enabled(kb.shape[0]):
+            _count_path("unique_block")
             out_b, found, total = _join_unique_block(
                 kb, vb, kp, vp, tuple(bcols)
             )
         else:
+            _count_path("unique_sort")
             out_b, found, total = _join_unique(kb, vb, kp, vp, tuple(bcols))
         out_p = _mask_cols(tuple(pcols), found)
         pad = probe.pad
@@ -667,14 +710,42 @@ def _run_join(
         live = found
     else:
         out_pad = buckets.get(idx) or probe.pad
-        csr = _general_csr_index(plan, j, battr, kb.shape[0], kp.shape[0])
+        csr = _general_csr_index(
+            plan, j, battr, pattr, kb.shape[0], kp.shape[0]
+        )
         if csr is not None:
-            base, counts_w, starts_w, grouped = csr
-            out_b, out_p, _live, total = _join_general_csr(
-                counts_w, starts_w, grouped, kp, vp, base,
-                tuple(bcols), tuple(pcols), out_pad,
-            )
+            (base, counts_w, starts_w, grouped), swapped = csr
+            if swapped:
+                # the *probe* child is the indexed scan: feed the build
+                # side's keys through the kernel's probe role; the
+                # kernel's bidx then addresses probe rows and its pidx
+                # build rows (inner join = multiset, order-free)
+                _count_path("general_csr_swapped")
+                out_p2, out_b2, _live, total = _join_general_csr(
+                    counts_w, starts_w, grouped, kb, vb, base,
+                    tuple(pcols), tuple(bcols), out_pad,
+                )
+                out_b, out_p = out_b2, out_p2
+            else:
+                _count_path("general_csr")
+                out_b, out_p, _live, total = _join_general_csr(
+                    counts_w, starts_w, grouped, kp, vp, base,
+                    tuple(bcols), tuple(pcols), out_pad,
+                )
         else:
+            # classify the fallback for path_stats: which gate failed?
+            bchild = plan.nodes[j.left if j.build_left else j.right]
+            pchild = plan.nodes[j.right if j.build_left else j.left]
+            if not isinstance(bchild.data, ScanNode):
+                why = (
+                    "probe_scan" if isinstance(pchild.data, ScanNode)
+                    else "no_scan"
+                )
+            elif bcol.dtype not in (DataType.INT32, DataType.INT64):
+                why = "non_int"
+            else:
+                why = "sparse_window"
+            _count_path(f"general_merge[{why}]")
             out_b, out_p, _live, total = _general_impl()(
                 kb, vb, kp, vp, tuple(bcols), tuple(pcols), out_pad
             )

@@ -358,3 +358,41 @@ def test_csr_index_memo_and_gates():
     assert base == 5
     assert counts_w[:3].tolist() == [2, 0, 2]  # keys 5,6,7 (6: invalid only)
     assert grouped[:4].tolist() == [1, 4, 0, 2]  # 5s in row order, then 7s
+
+
+def test_join_path_stats_counters():
+    """PATH_STATS records which kernel family each executed join used."""
+    from radixjoin_tpu.plan import executor
+    from radixjoin_tpu import engine
+    from radixjoin_tpu.plan.ir import Plan
+
+    before = executor.path_stats()
+    pk = HostTable(3, [HostColumn(DataType.INT32,
+                                  np.array([1, 2, 3], np.int32),
+                                  np.ones(3, bool))])
+    fk = HostTable(4, [HostColumn(DataType.INT32,
+                                  np.array([2, 2, 3, 9], np.int32),
+                                  np.ones(4, bool))])
+    plan = Plan()
+    a = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(pk)),
+                           [(0, DataType.INT32)])
+    b = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(fk)),
+                           [(0, DataType.INT32)])
+    j1 = plan.new_join_node(True, a, b, 0, 0, [(0, DataType.INT32)])
+    # second PK table joined on top: j1 is now an inner (non-root) join
+    # and eligible for the unique fast path; the root join is always
+    # compacted (general family) by design.
+    pk2 = HostTable(3, [HostColumn(DataType.INT32,
+                                   np.array([1, 2, 3], np.int32),
+                                   np.ones(3, bool))])
+    c = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(pk2)),
+                           [(0, DataType.INT32)])
+    plan.root = plan.new_join_node(True, c, j1, 0, 0, [(1, DataType.INT32)])
+    res = engine.execute(plan, engine.build_context())
+    assert res.num_rows == 3
+    after = executor.path_stats()
+    assert sum(after.values()) >= sum(before.values()) + 2
+    assert any(k.startswith("unique_") for k, v in after.items()
+               if v > before.get(k, 0))
+    assert any(k.startswith("general_") for k, v in after.items()
+               if v > before.get(k, 0))
