@@ -539,26 +539,51 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
             totals_by_node[idx] = t
             results[idx] = _shrink_node(res, t)
 
-    # final fetch: remaining totals + speculative small-root prefetch
+    # Final fetch: remaining totals + BOUNDED speculative root prefetch.
+    # Two tunnel facts shape this (measured 2026-08-17): a fetch of ready
+    # data is ~free but each fetch pays a ~25 ms dispatch-burst latency,
+    # and D2H bandwidth is only ~40 MB/s — so shipping a root's full
+    # pow2-padded columns (MBs of padding for a 5-row result) costs far
+    # more than a second burst, while NOT prefetching costs a second
+    # burst even for tiny results. Ride only the first ``k_pad`` rows
+    # (largest pow2 whose bytes fit RJT_PREFETCH_BYTES, default 256 KiB
+    # ~ 6 ms) along with the totals: results that fit (the common case —
+    # JOB medians are tiny) finish in ONE burst; larger results pay one
+    # exact-sliced re-fetch, which they needed anyway.
+    import os
+
+    prefetch_budget = int(os.environ.get("RJT_PREFETCH_BYTES", str(256 << 10)))
     for _attempt in range(max_attempts):
         fetch_ids = [i for i in join_ids if i not in totals_by_node]
         root_res = results[plan.root]
         root_arrays = tuple(d for d, _ in root_res.cols) + tuple(
             v for _, v in root_res.cols
         )
-        root_bytes = sum(
-            int(a.shape[0]) * a.dtype.itemsize for a in root_arrays
+        row_bytes = max(1, sum(a.dtype.itemsize for a in root_arrays))
+        # A/B (2026-08-17): raising the full-pad threshold to 1 MiB fixed
+        # the one query whose result overflows the bounded window (6f,
+        # -25 ms) but taxed every mid-pad tiny-result query with ~25 ms
+        # of padded transfer: suite 6073 vs 6018 ms. Default stays pure
+        # bounded; the knob remains for data distributions with big
+        # results.
+        full_budget = int(
+            os.environ.get("RJT_PREFETCH_FULL_BYTES", str(256 << 10))
         )
-        prefetch_root = root_bytes <= (4 << 20)
-        flat = [results[i].total_dev for i in fetch_ids] + (
-            list(root_arrays) if prefetch_root else []
-        )
+        if root_res.pad * row_bytes <= full_budget:
+            k_pad = root_res.pad
+        else:
+            k_pad = join_ops.bucket_size(1)
+            while (
+                k_pad * 2 <= root_res.pad
+                and k_pad * 2 * row_bytes <= prefetch_budget
+            ):
+                k_pad *= 2
+            root_arrays = _slice_cols(root_arrays, k_pad)
+        flat = [results[i].total_dev for i in fetch_ids] + list(root_arrays)
         fetched = fetch_bundle(flat)
         for i, t in zip(fetch_ids, fetched):
             totals_by_node[i] = int(t)
-        prefetched = (
-            tuple(fetched[len(fetch_ids):]) if prefetch_root else None
-        )
+        prefetched = (k_pad, tuple(fetched[len(fetch_ids):]))
 
         # residual overflow fixup (only never-synced, i.e. small, nodes)
         bad = [
@@ -772,7 +797,8 @@ def fetch_root(
     prefetched=None,
 ):
     """Root columns -> HostTable (skips the transfer when the totals fetch
-    already carried them)."""
+    already carried them — ``prefetched`` is ``(k_pad, arrays)`` holding
+    the first ``k_pad`` rows, enough iff ``total <= k_pad``)."""
     from ..storage.columnar import HostTable
 
     root_node = plan.nodes[plan.root]
@@ -783,8 +809,8 @@ def fetch_root(
 
     # root joins are always compacted (the engine excludes the root from
     # the unique fast path) and scans are dense, so rows [0:total) are it
-    if prefetched is not None:
-        host_arrays = prefetched
+    if prefetched is not None and total <= prefetched[0]:
+        host_arrays = prefetched[1]
     else:
         arrays = tuple(d for d, _ in root.cols) + tuple(
             v for _, v in root.cols
