@@ -140,6 +140,9 @@ def main():
         def warm(name):
             rows_by_name[name] = execute(plans[name], harness.context).num_rows
             _partial["result_rows"] += rows_by_name[name]
+            # second execution: compile the cardinality-feedback shapes
+            # (exact per-join buckets) in the parallel warmup too
+            execute(plans[name], harness.context)
 
         with cf.ThreadPoolExecutor(warm_threads) as ex:
             list(ex.map(warm, names))

@@ -335,56 +335,6 @@ def _slice_columns(arrays, n: int):
     return tuple(a[:n] for a in arrays)
 
 
-def _pack_inputs(plan: Plan, structure):
-    """Decode used base tables and pack every projected column into one
-    uint8 buffer (single H2D). Returns (buffer, dicts_by_packed_col)."""
-    from .plan import compiler as pc
-
-    buf = np.zeros(structure.buffer_size, dtype=np.uint8)
-    dicts: dict = {}
-    host_cache: dict = {}
-    seen: set = set()
-    for idx, spec in structure.scan_specs.items():
-        node = plan.nodes[idx]
-        input_id = node.data.base_table_id
-        if input_id not in host_cache:
-            host_cache[input_id] = plan.inputs[input_id].to_host()
-        host = host_cache[input_id]
-        for (col_idx, dt), cid in zip(node.output_attrs, spec.cols):
-            if cid in seen:
-                continue
-            seen.add(cid)
-            cspec = structure.col_specs[cid]
-            col = host.columns[col_idx]
-            n = len(col.valid)
-            if dt is DataType.VARCHAR:
-                res = native.dict_encode(col.heap, col.ends, col.valid)
-                if res is not None:
-                    ids, dheap, dends = res
-                    dicts[cid] = StringDict(dheap, dends)
-                else:
-                    present = col.objects()[col.valid]
-                    if len(present):
-                        uniq, inverse = np.unique(present, return_inverse=True)
-                    else:
-                        uniq, inverse = np.empty(0, object), np.zeros(0, np.int64)
-                    ids = np.zeros(n, dtype=np.int32)
-                    ids[col.valid] = inverse.astype(np.int32)
-                    dicts[cid] = StringDict.from_objects(list(uniq))
-                values8 = ids.view(np.uint8)
-            elif dt is DataType.FP64:
-                values8 = col.values.view(np.uint8)
-            else:
-                values8 = np.ascontiguousarray(
-                    col.values, dtype=dt.numpy_dtype
-                ).view(np.uint8)
-            vo = cspec.values_offset
-            buf[vo : vo + n * cspec.esize] = values8[: n * cspec.esize]
-            bo = cspec.valid_offset
-            buf[bo : bo + n] = col.valid.view(np.uint8)
-    return buf, dicts
-
-
 def _detect_unique_joins(plan: Plan) -> frozenset:
     """Join nodes whose build side is a scan column with verified-unique
     valid keys (FK->PK). The root is excluded: unique-join output is
@@ -409,48 +359,69 @@ def _detect_unique_joins(plan: Plan) -> frozenset:
 
 
 def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
-    from .plan import compiler as pc
+    """Sort-free whole-plan fused execution (plan/fused.py): one XLA
+    program per query over the shared per-column upload memo, exact
+    totals + bounded root prefetch in one fetch, overflow retries with
+    exact buckets."""
+    import os
+
+    from .plan import executor as _exec
+    from .plan import fused as fz
 
     buckets: dict = {}
     root_node = plan.nodes[plan.root]
     unique_joins = _detect_unique_joins(plan)
+    prefetch_budget = int(os.environ.get("RJT_PREFETCH_BYTES", str(256 << 10)))
+    full_budget = int(
+        os.environ.get("RJT_PREFETCH_FULL_BYTES", str(256 << 10))
+    )
     for _attempt in range(len(plan.nodes) + 2):
-        structure = pc.PlanStructure(plan, buckets, unique_joins)
+        structure = fz.FusedPlan(plan, buckets, unique_joins)
         if structure.has_varchar_key:
             return None  # caller falls back to the stepwise engine
-        fn = pc.compile_structure(structure)
-        buf, dicts = _pack_inputs(plan, structure)
-        out_values_dev, out_valid_dev, totals_dev = fn(jnp.asarray(buf))
-        # Every D2H round trip costs ~30 ms of link latency. Small padded
-        # outputs ride along with the totals in ONE fetch; large ones are
-        # sliced on device to the exact result bucket first (second fetch).
-        out_bytes = sum(
-            int(a.shape[0]) * a.dtype.itemsize for a in out_values_dev
-        ) + sum(int(a.shape[0]) for a in out_valid_dev)
-        prefetched = None
-        if out_bytes <= (4 << 20):
-            totals, prefetched = jax.device_get(
-                (totals_dev, (out_values_dev, out_valid_dev))
-            )
-        else:
-            totals = jax.device_get(totals_dev)
+        fn = fz.compile_plan(structure)
+        out_values_dev, out_valid_dev, totals_dev = fn(
+            tuple(structure.col_args), tuple(structure.aux_args)
+        )
 
-        # exactness check: a join's total is trustworthy iff no descendant
-        # join overflowed its bucket
+        # bounded root prefetch rides the totals fetch (same policy as
+        # the wave executor, see plan/executor.py run_plan)
+        root_arrays = tuple(out_values_dev) + tuple(out_valid_dev)
+        row_bytes = max(1, sum(a.dtype.itemsize for a in root_arrays))
+        root_pad = structure.root_pad
+        if root_pad * row_bytes <= full_budget:
+            k_pad = root_pad
+        else:
+            k_pad = join_ops.bucket_size(1)
+            while (
+                k_pad * 2 <= root_pad
+                and k_pad * 2 * row_bytes <= prefetch_budget
+            ):
+                k_pad *= 2
+            root_arrays = _exec._slice_cols(root_arrays, k_pad)
+        fetched = _exec.fetch_bundle([totals_dev] + list(root_arrays))
+        totals, pre = fetched[0], fetched[1:]
+
+        # exactness: a join's total is trustworthy iff no descendant
+        # general join overflowed its bucket; probe-shaped strategies
+        # cannot overflow
         join_order = structure.join_order
         exact: dict = {}
         overflow = False
-        children_exact: dict = {}
-        for j, node_id in enumerate(join_order):
+        for ji, node_id in enumerate(join_order):
             spec = structure.join_specs[node_id]
-            deps_ok = all(
-                exact.get(d, True)
-                for d in (spec.left, spec.right)
+            probe_shaped = spec.strategy in (
+                "unique_scatter", "unique_sort", "empty"
             )
-            fits = int(totals[j]) <= spec.out_pad
+            deps_ok = all(
+                exact.get(d, True) for d in (spec.left, spec.right)
+            )
+            fits = probe_shaped or int(totals[ji]) <= spec.out_pad
             exact[node_id] = deps_ok and fits
+            if probe_shaped:
+                continue
             if deps_ok and not fits:
-                buckets[node_id] = join_ops.bucket_size(int(totals[j]))
+                buckets[node_id] = join_ops.bucket_size(int(totals[ji]))
                 overflow = True
             elif not deps_ok:
                 buckets[node_id] = max(
@@ -458,7 +429,7 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
                 )
                 overflow = True
             else:
-                buckets[node_id] = join_ops.bucket_size(int(totals[j]))
+                buckets[node_id] = join_ops.bucket_size(int(totals[ji]))
         if overflow:
             continue
 
@@ -467,31 +438,24 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
         else:
             root_total = int(totals[join_order.index(plan.root)])
 
-        if prefetched is not None:
-            out_values, out_valid = prefetched
-        elif root_total == 0:
-            n_cols = len(root_node.output_attrs)
-            out_values = [np.zeros(0, np.int64)] * n_cols
-            out_valid = [np.zeros(0, bool)] * n_cols
+        k = len(out_values_dev)
+        if root_total <= k_pad:
+            out_values, out_valid = list(pre[:k]), list(pre[k:])
         else:
-            fetch_pad = min(
-                join_ops.bucket_size(root_total),
-                int(out_values_dev[0].shape[0]) if out_values_dev else 0,
-            )
-            sliced = _slice_columns(
+            fetch_pad = min(join_ops.bucket_size(root_total), root_pad)
+            sliced = _exec._slice_cols(
                 tuple(out_values_dev) + tuple(out_valid_dev), fetch_pad
             )
-            fetched = jax.device_get(sliced)
-            k = len(out_values_dev)
-            out_values, out_valid = fetched[:k], fetched[k:]
+            fetched2 = _exec.fetch_bundle(list(sliced))
+            out_values, out_valid = fetched2[:k], fetched2[k:]
 
         sources = structure.col_sources[plan.root]
         cols: List[HostColumn] = []
-        for k, (ci, dt) in enumerate(root_node.output_attrs):
-            values = out_values[k][:root_total]
-            valid = out_valid[k][:root_total]
+        for ko, (ci, dt) in enumerate(root_node.output_attrs):
+            values = out_values[ko][:root_total]
+            valid = out_valid[ko][:root_total]
             if dt is DataType.VARCHAR:
-                d = dicts.get(sources[k], StringDict.empty())
+                d = structure.dicts[sources[ko]] or StringDict.empty()
                 if root_total == 0 or d.size == 0:
                     cols.append(
                         HostColumn.varchar(
@@ -655,9 +619,14 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
         # working set exceeds device HBM: host-staged multi-pass radix
         host = _execute_host_partitioned(plan, budget_bytes=budget // 8)
     elif mode == "fused":
-        # one fused XLA program per query: best steady-state latency for a
-        # small, stable query set; compile-bound on heterogeneous suites
+        # one sort-free XLA program per query (plan/fused.py)
         host = _execute_fused(plan, context)
+        if host is None:
+            # VARCHAR join keys can't fuse: the shape-shared executor is
+            # the fast fallback (it handles dictionary unification)
+            from .plan import executor
+
+            host = executor.execute_shared(plan, _detect_unique_joins(plan))
     elif mode == "stepwise":
         host = device_table_to_host(execute_device(plan, context))
     else:

@@ -1,8 +1,9 @@
 """Shape-shared plan executor — the default execution strategy.
 
-Why not one fused XLA program per query (plan/compiler.py)? A 113-query
-suite lowers to 113+ distinct monster programs; on a remote-compile TPU
-backend the compile bill dwarfs the compute. This executor instead runs
+Why not always one fused XLA program per query (plan/fused.py)? A
+113-query suite lowers to 113+ distinct programs; with sort-containing
+joins in the mix the compile bill can dwarf the compute on a
+remote-compile backend. This executor instead runs
 the plan as a chain of SMALL jitted kernels whose shapes are pow2-padded
 (ops/join.py bucket_size), so the same compiled executable serves every
 join of the same (build_pad, probe_pad, out_pad, dtype, payload signature)
@@ -490,8 +491,22 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
     never-synced (small) waves are fixed up by recomputing the affected
     ancestor chain at the end.
 
+    **Cardinality feedback** (``RJT_CARD_FEEDBACK``, default on): a
+    successful run records each join's exact bucket on the plan object;
+    repeat executions of the same plan (prepared-statement style) seed
+    general joins with those exact buckets and compact probe-shaped
+    outputs to their known size right after dispatch — all downstream
+    work then runs at live-row scale with ZERO mid-flight syncs. Stale
+    feedback (the data changed) is caught by the same exact-totals
+    overflow check and the affected subtree recomputes, so results stay
+    exact. JOB joins are highly selective, which is why this and the
+    first-run wave shrink pay (the reference has no analogue: its
+    vectors grow dynamically, src/execute.cpp:232-243).
+
     Returns ``(root_result, totals_by_node, prefetched_root_or_None)``.
     """
+    import os
+
     from .. import engine as eng
 
     buckets: Dict[int, int] = {}
@@ -500,6 +515,13 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
     level = _levels(plan, order)
     results: Dict[int, _NodeResult] = {}
     totals_by_node: Dict[int, int] = {}
+
+    feedback_on = os.environ.get("RJT_CARD_FEEDBACK", "on") != "off"
+    learned = getattr(plan, "_learned_buckets", None) if feedback_on else None
+    if learned:
+        for idx, (pad, was_compacted) in learned.items():
+            if was_compacted:
+                buckets.setdefault(idx, pad)
 
     for idx in order:
         if isinstance(plan.nodes[idx].data, ScanNode):
@@ -512,11 +534,29 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
 
     shrink_min_pad, max_syncs = _shrink_policy()
     syncs = 0
+    dispatch_compacted: Dict[int, bool] = {}
     for wi, wave in enumerate(wave_list):
         for idx in wave:
-            results[idx] = _run_join(
+            res = results[idx] = _run_join(
                 eng, plan, idx, plan.nodes[idx], results, buckets, unique_joins
             )
+            dispatch_compacted.setdefault(idx, res.compacted)
+            if learned and not res.compacted:
+                lp, was_compacted = learned.get(idx, (None, None))
+                if (
+                    lp is not None
+                    and not was_compacted
+                    and lp * _SHRINK_FACTOR <= res.pad
+                ):
+                    # known-size probe-shaped output: compact immediately
+                    # (no sync; a stale undersized pad is caught by the
+                    # final totals check and the subtree recomputes)
+                    cols = _compact_probe_shaped(
+                        tuple(res.cols), res.live, lp
+                    )
+                    results[idx] = _NodeResult(
+                        list(cols), res.total_dev, lp, True, res.dicts
+                    )
         is_last = wi == len(wave_list) - 1
         if (
             is_last
@@ -591,6 +631,17 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
             if results[i].compacted and totals_by_node[i] > results[i].pad
         ]
         if not bad:
+            if feedback_on:
+                # exact buckets for the next execution of this plan
+                # (general nodes seed their bucket; probe-shaped nodes
+                # compact to this pad right after dispatch)
+                plan._learned_buckets = {
+                    i: (
+                        join_ops.bucket_size(totals_by_node[i]),
+                        (i in buckets) or dispatch_compacted.get(i, True),
+                    )
+                    for i in join_ids
+                }
             return results[plan.root], totals_by_node, prefetched
         affected = set()
         parent: Dict[int, int] = {}

@@ -1,0 +1,336 @@
+"""Sort-free whole-plan compiler: ONE XLA program per query.
+
+Second-generation fused mode. The reference *interprets* the join tree
+node by node over row vectors (src/execute.cpp:302-314); the shape-shared
+wave executor (plan/executor.py) replaces that with ~dozens of small
+shared programs per query — but on a tunneled TPU every dispatched
+program adds marginal latency and the result fetch pays a fixed
+round-trip burst. Measured on v5e (2026-08-17): an 8-join sort-free
+chain fused into one program executes warm in ~0.2 ms; the per-query
+cost is then ONE result round trip.
+
+Differences from the first-generation fused compiler (git history,
+plan/compiler.py, removed):
+
+* **No packed uint8 buffer.** Inputs are per-column device arrays shared
+  with the wave executor's upload memo (`_device_column_cached`) — a base
+  table crosses the tunnel once per process no matter which engine mode
+  runs, and switching modes does not re-upload.
+* **Sort-free join lowering.** Joins lower exactly like the executor's
+  fast paths: dense-window scatter tables for FK->PK
+  (ops/join.py join_unique_scatter_impl), host-CSR grouped scans for
+  general joins — on either side, with role swap (join_csr_impl) — and
+  the single-sort merge join only for joins where both children are
+  intermediates. Sort-free programs compile ~an order of magnitude
+  faster, which is what makes per-query programs affordable (the
+  first-generation compiler's all-sort programs cost ~15 s+ each).
+* **Bounded root prefetch**: the totals and the first
+  ``RJT_PREFETCH_BYTES`` worth of root rows ride one fetch; only results
+  that overflow that window pay a second round trip.
+
+Join output cardinalities are data-dependent, which XLA cannot express,
+so every general join writes into a **static pow2 bucket** seeded by the
+probe child's pad; the program emits exact per-join totals, the host
+checks ``total <= bucket`` after the fetch, and overflows (rare) re-run
+with exact buckets — results are always exact, never silently truncated.
+
+VARCHAR join *keys* cannot fuse (dictionary unification needs host
+string data): those plans fall back to the stepwise engine, like before
+(JOB never joins on strings, reference ANNOUNCEMENTS.md:11). VARCHAR
+payload columns flow through as dictionary ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dtypes import DataType
+from ..ops import join as join_ops
+from .ir import JoinNode, Plan, ScanNode
+from . import executor as _ex
+
+
+@dataclasses.dataclass(frozen=True)
+class _ScanSpec:
+    pad: int
+    cols: Tuple[int, ...]  # per output attr -> index into the arg column list
+
+
+@dataclasses.dataclass(frozen=True)
+class _JoinSpec:
+    build_left: bool
+    left: int
+    right: int
+    left_attr: int
+    right_attr: int
+    key_dtype: Optional[DataType]  # None => statically empty (type mismatch)
+    out_pad: int
+    # output attr -> (side 0=left/1=right, column index in that child)
+    out_cols: Tuple[Tuple[int, int], ...]
+    #: "empty" | "unique_scatter" | "unique_sort" | "csr" | "csr_swapped"
+    #: | "merge"
+    strategy: str
+    r_pad: int = 0  # scatter window (unique_scatter only)
+    aux_id: int = -1  # index into the aux arg list (scatter/csr operands)
+
+
+class FusedPlan:
+    """Static structure + device operands of one fused query program."""
+
+    def __init__(self, plan: Plan, buckets: Dict[int, int],
+                 unique_joins: frozenset):
+        from .. import engine as eng
+
+        self.plan = plan
+        self.order = plan.topo_order()
+        self.buckets = dict(buckets)
+        self.scan_specs: Dict[int, _ScanSpec] = {}
+        self.join_specs: Dict[int, _JoinSpec] = {}
+        self.has_varchar_key = False
+        #: flat device column operands [(data, valid), ...]
+        self.col_args: List[Tuple] = []
+        #: per-join aux operands: scatter -> (base,), csr -> (base, c, s, g)
+        self.aux_args: List[Tuple] = []
+        #: packed col id -> StringDict or None (dictionary provenance)
+        self.dicts: List = []
+        # node -> per-output-attr packed col id (for root dict lookup)
+        self.col_sources: Dict[int, Tuple[int, ...]] = {}
+
+        pads: Dict[int, int] = {}
+        packed: Dict[Tuple[int, int, int], int] = {}
+
+        for idx in self.order:
+            node = plan.nodes[idx]
+            if isinstance(node.data, ScanNode):
+                table = plan.inputs[node.data.base_table_id]
+                host = table.to_host()
+                pad = join_ops.bucket_size(host.num_rows)
+                pads[idx] = pad
+                col_ids = []
+                for col_idx, dt in node.output_attrs:
+                    key = (node.data.base_table_id, col_idx, pad)
+                    if key not in packed:
+                        dev = _ex._device_column_cached(
+                            eng, host.columns[col_idx], pad
+                        )
+                        packed[key] = len(self.col_args)
+                        self.col_args.append((dev.data, dev.valid))
+                        self.dicts.append(dev.dictionary)
+                    col_ids.append(packed[key])
+                self.scan_specs[idx] = _ScanSpec(pad, tuple(col_ids))
+                self.col_sources[idx] = tuple(col_ids)
+                continue
+
+            j = node.data
+            left_w = len(plan.nodes[j.left].output_attrs)
+            lt = plan.nodes[j.left].output_attrs[j.left_attr][1]
+            rt = plan.nodes[j.right].output_attrs[j.right_attr][1]
+            key_dtype = lt if lt is rt else None
+            if key_dtype is DataType.VARCHAR:
+                self.has_varchar_key = True
+                return  # caller falls back; no point building further
+            battr = j.left_attr if j.build_left else j.right_attr
+            pattr = j.right_attr if j.build_left else j.left_attr
+            bchild = j.left if j.build_left else j.right
+            pchild = j.right if j.build_left else j.left
+
+            strategy, r_pad, aux_id = "merge", 0, -1
+            if key_dtype is None:
+                strategy = "empty"
+            elif (
+                idx in unique_joins
+                and key_dtype in (DataType.INT32, DataType.INT64)
+                and self.buckets.get(idx) is None
+            ):
+                window = _ex._unique_scatter_window(
+                    plan, j, battr, pads[bchild], pads[pchild]
+                )
+                if window is not None:
+                    strategy = "unique_scatter"
+                    base, r_pad = window
+                    aux_id = len(self.aux_args)
+                    self.aux_args.append((_ex._dev_scalar_i64(base),))
+                else:
+                    strategy = "unique_sort"
+            else:
+                csr = _ex._general_csr_index(
+                    plan, j, battr, pattr, pads[bchild], pads[pchild]
+                )
+                if csr is not None:
+                    (base, counts_w, starts_w, grouped), swapped = csr
+                    strategy = "csr_swapped" if swapped else "csr"
+                    aux_id = len(self.aux_args)
+                    self.aux_args.append((base, counts_w, starts_w, grouped))
+
+            if strategy in ("unique_scatter", "unique_sort"):
+                out_pad = pads[pchild]  # probe-shaped, cannot overflow
+            else:
+                out_pad = self.buckets.get(idx) or pads[pchild]
+            pads[idx] = out_pad
+            out_cols = tuple(
+                (0, ci) if ci < left_w else (1, ci - left_w)
+                for ci, _ in node.output_attrs
+            )
+            self.join_specs[idx] = _JoinSpec(
+                j.build_left, j.left, j.right, j.left_attr, j.right_attr,
+                key_dtype, out_pad, out_cols, strategy, r_pad, aux_id,
+            )
+            self.col_sources[idx] = tuple(
+                self.col_sources[j.left][ci]
+                if ci < left_w
+                else self.col_sources[j.right][ci - left_w]
+                for ci, _ in node.output_attrs
+            )
+
+        self.join_order = [i for i in self.order if i in self.join_specs]
+        self.root_pad = pads[plan.root]
+
+    def cache_key(self) -> tuple:
+        scans = tuple(
+            (i, s.pad, s.cols) for i, s in self.scan_specs.items()
+        )
+        joins = tuple(
+            (i,) + dataclasses.astuple(self.join_specs[i])
+            for i in self.join_order
+        )
+        root = self.plan.root
+        root_attrs = tuple(self.plan.nodes[root].output_attrs)
+        return (scans, joins, root, root_attrs)
+
+
+_F64_SIGN = np.int64(np.int64(-2) ** 63)
+_F64_EXP = np.int64(0x7FF0000000000000)
+_F64_MANT = np.int64(0x000FFFFFFFFFFFFF)
+
+
+def _normalize_key(data, valid, dt: DataType):
+    # FP64 keys arrive bitcast to i64 at upload; canonicalize -0.0 and NaN
+    if dt is DataType.FP64:
+        is_nan = ((data & _F64_EXP) == _F64_EXP) & ((data & _F64_MANT) != 0)
+        data = jnp.where(data == _F64_SIGN, jnp.int64(0), data)
+        valid = valid & ~is_nan
+    return data, valid
+
+
+def _trace(structure: FusedPlan, col_args, aux_args):
+    plan = structure.plan
+    tables: Dict[int, List[Tuple[jnp.ndarray, jnp.ndarray]]] = {}
+    totals = []
+
+    for idx in structure.order:
+        node = plan.nodes[idx]
+        if isinstance(node.data, ScanNode):
+            spec = structure.scan_specs[idx]
+            tables[idx] = [col_args[c] for c in spec.cols]
+            continue
+
+        spec = structure.join_specs[idx]
+        left, right = tables[spec.left], tables[spec.right]
+        if spec.build_left:
+            (kb, vb), (kp, vp) = left[spec.left_attr], right[spec.right_attr]
+        else:
+            (kb, vb), (kp, vp) = right[spec.right_attr], left[spec.left_attr]
+        if spec.key_dtype is not None:
+            kb, vb = _normalize_key(kb, vb, spec.key_dtype)
+            kp, vp = _normalize_key(kp, vp, spec.key_dtype)
+
+        live = None
+        if spec.strategy == "empty":
+            bidx = jnp.zeros(spec.out_pad, jnp.int32)
+            pidx = jnp.zeros(spec.out_pad, jnp.int32)
+            live = jnp.zeros(spec.out_pad, bool)
+            total = jnp.zeros((), jnp.int64)
+        elif spec.strategy == "unique_scatter":
+            (base,) = aux_args[spec.aux_id]
+            bidx, found, total = join_ops.join_unique_scatter_impl(
+                kb, vb, kp, vp, base, spec.r_pad
+            )
+            pidx, live = None, found
+        elif spec.strategy == "unique_sort":
+            bidx, found, total = join_ops.join_unique_impl(kb, vb, kp, vp)
+            pidx, live = None, found
+        elif spec.strategy == "csr":
+            base, counts_w, starts_w, grouped = aux_args[spec.aux_id]
+            bidx, pidx, live, total = join_ops.join_csr_impl(
+                counts_w, starts_w, grouped, kp, vp, base, spec.out_pad
+            )
+        elif spec.strategy == "csr_swapped":
+            # the *probe* child is the CSR-indexed scan: the build side's
+            # keys go through the kernel's probe role, so the kernel's
+            # bidx addresses probe rows and its pidx build rows
+            base, counts_w, starts_w, grouped = aux_args[spec.aux_id]
+            pidx, bidx, live, total = join_ops.join_csr_impl(
+                counts_w, starts_w, grouped, kb, vb, base, spec.out_pad
+            )
+        else:  # "merge": both children intermediate — single-sort join
+            ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
+                kb, vb, kp, vp
+            )
+            bidx, pidx, live = join_ops.join_expand_merge_impl(
+                ids_s, run_start, offsets, total, spec.out_pad
+            )
+        totals.append(total)
+
+        lidx = bidx if spec.build_left else pidx
+        ridx = pidx if spec.build_left else bidx
+        gathered: Dict[Tuple[int, int], Tuple] = {}
+        out_cols = []
+        for side, ci in spec.out_cols:
+            key = (side, ci)
+            if key not in gathered:
+                src_vals, src_valid = (left if side == 0 else right)[ci]
+                idx_arr = lidx if side == 0 else ridx
+                if idx_arr is None:  # unique path: probe side passes through
+                    gathered[key] = (src_vals, src_valid & live)
+                else:
+                    g = _ex._gather_cols(
+                        ((src_vals, src_valid),), idx_arr, live
+                    )
+                    gathered[key] = g[0]
+            out_cols.append(gathered[key])
+        tables[idx] = out_cols
+
+    root_cols = tables[plan.root]
+    out_values = tuple(c[0] for c in root_cols)
+    out_valid = tuple(c[1] for c in root_cols)
+    totals_arr = (
+        jnp.stack(totals) if totals else jnp.zeros(0, dtype=jnp.int64)
+    )
+    return out_values, out_valid, totals_arr
+
+
+class _Ref:
+    """Hashable-by-key wrapper so lru_cache can key on the structure."""
+
+    def __init__(self, value, key):
+        self.value = value
+        self.key = key
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __eq__(self, other):
+        return isinstance(other, _Ref) and self.key == other.key
+
+
+@functools.lru_cache(maxsize=512)
+def _compiled(cache_key, ref):
+    structure = ref.value
+
+    def fn(col_args, aux_args):
+        return _trace(structure, col_args, aux_args)
+
+    return jax.jit(fn)
+
+
+def compile_plan(structure: FusedPlan):
+    key = structure.cache_key()
+    return _compiled(key, _Ref(structure, key))

@@ -360,8 +360,10 @@ def test_csr_index_memo_and_gates():
     assert grouped[:4].tolist() == [1, 4, 0, 2]  # 5s in row order, then 7s
 
 
-def test_join_path_stats_counters():
-    """PATH_STATS records which kernel family each executed join used."""
+def test_join_path_stats_counters(monkeypatch):
+    """PATH_STATS records which kernel family each executed join used
+    (wave-executor counters: pin the mode)."""
+    monkeypatch.delenv("RJT_EXEC_MODE", raising=False)
     from radixjoin_tpu.plan import executor
     from radixjoin_tpu import engine
     from radixjoin_tpu.plan.ir import Plan
@@ -396,3 +398,52 @@ def test_join_path_stats_counters():
                if v > before.get(k, 0))
     assert any(k.startswith("general_") for k, v in after.items()
                if v > before.get(k, 0))
+
+
+def test_cardinality_feedback_repeat_and_stale(monkeypatch):
+    """Second execution of a plan uses learned exact buckets; poisoned
+    (stale/undersized) feedback must be detected and recomputed, never
+    truncating results."""
+    monkeypatch.delenv("RJT_EXEC_MODE", raising=False)
+    from radixjoin_tpu import engine
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import sorted_rows
+
+    rng = np.random.default_rng(5)
+    n_pk, n_fk = 300, 4000
+    pk_rows = [[int(k), int(k) * 7] for k in rng.permutation(n_pk)]
+    fk_rows = [[int(k)] for k in rng.integers(0, n_pk, n_fk)]
+    dim_rows = [[int(k) * 7, int(k)] for k in range(0, n_pk, 2)]  # dup-free
+    t_pk = HostTable.from_rows(pk_rows, [DataType.INT64, DataType.INT64])
+    t_fk = HostTable.from_rows(fk_rows, [DataType.INT64])
+    t_dim = HostTable.from_rows(dim_rows, [DataType.INT64, DataType.INT64])
+
+    plan = Plan()
+    a = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(t_pk)),
+                           [(0, DataType.INT64), (1, DataType.INT64)])
+    b = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(t_fk)),
+                           [(0, DataType.INT64)])
+    j1 = plan.new_join_node(True, a, b, 0, 0,
+                            [(0, DataType.INT64), (1, DataType.INT64)])
+    c = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(t_dim)),
+                           [(0, DataType.INT64), (1, DataType.INT64)])
+    plan.root = plan.new_join_node(True, c, j1, 0, 1,
+                                   [(1, DataType.INT64), (2, DataType.INT64)])
+
+    ctx = engine.build_context()
+    r1 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert hasattr(plan, "_learned_buckets") and plan._learned_buckets
+    r2 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert r2 == r1
+
+    # poison the feedback: absurdly small buckets + flipped flags
+    plan._learned_buckets = {
+        i: (128, fl) for i, (p, fl) in plan._learned_buckets.items()
+    }
+    r3 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert r3 == r1
+    plan._learned_buckets = {
+        i: (128, not fl) for i, (p, fl) in plan._learned_buckets.items()
+    }
+    r4 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert r4 == r1
