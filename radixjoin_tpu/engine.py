@@ -375,8 +375,17 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
     full_budget = int(
         os.environ.get("RJT_PREFETCH_FULL_BYTES", str(256 << 10))
     )
+    feedback_on = os.environ.get("RJT_CARD_FEEDBACK", "on") != "off"
+    learned = getattr(plan, "_learned_buckets", None) if feedback_on else None
+    if learned:
+        for i, (pad, was_compacted) in learned.items():
+            if was_compacted:
+                buckets.setdefault(i, pad)
+    no_compact: set = set()
     for _attempt in range(len(plan.nodes) + 2):
-        structure = fz.FusedPlan(plan, buckets, unique_joins)
+        structure = fz.FusedPlan(
+            plan, buckets, unique_joins, learned, frozenset(no_compact)
+        )
         if structure.has_varchar_key:
             return None  # caller falls back to the stepwise engine
         fn = fz.compile_plan(structure)
@@ -417,6 +426,14 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
                 exact.get(d, True) for d in (spec.left, spec.right)
             )
             fits = probe_shaped or int(totals[ji]) <= spec.out_pad
+            if (
+                spec.compact_pad
+                and int(totals[ji]) > spec.compact_pad
+            ):
+                # stale learned pad truncated this probe-shaped output
+                no_compact.add(node_id)
+                fits = False
+                overflow = True
             exact[node_id] = deps_ok and fits
             if probe_shaped:
                 continue
@@ -437,6 +454,16 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
             root_total = plan.inputs[root_node.data.base_table_id].num_rows
         else:
             root_total = int(totals[join_order.index(plan.root)])
+
+        if feedback_on:
+            plan._learned_buckets = {
+                node_id: (
+                    join_ops.bucket_size(int(totals[ji])),
+                    structure.join_specs[node_id].strategy
+                    not in ("unique_scatter", "unique_sort"),
+                )
+                for ji, node_id in enumerate(join_order)
+            }
 
         k = len(out_values_dev)
         if root_total <= k_pad:

@@ -80,13 +80,26 @@ class _JoinSpec:
     strategy: str
     r_pad: int = 0  # scatter window (unique_scatter only)
     aux_id: int = -1  # index into the aux arg list (scatter/csr operands)
+    #: probe-shaped joins only: compact the output to this learned pad
+    #: inside the program (cardinality feedback); 0 = no compaction. A
+    #: stale undersized pad truncates — the engine detects
+    #: ``total > compact_pad`` and retries without it.
+    compact_pad: int = 0
 
 
 class FusedPlan:
-    """Static structure + device operands of one fused query program."""
+    """Static structure + device operands of one fused query program.
+
+    ``learned`` (cardinality feedback, shared with the wave executor via
+    ``plan._learned_buckets``): general joins seed exact buckets through
+    ``buckets``; probe-shaped joins get an in-program compaction to
+    their learned pad (``_JoinSpec.compact_pad``) so downstream stages
+    run at live-row scale inside the single program."""
 
     def __init__(self, plan: Plan, buckets: Dict[int, int],
-                 unique_joins: frozenset):
+                 unique_joins: frozenset,
+                 learned: Optional[Dict[int, Tuple[int, bool]]] = None,
+                 no_compact: frozenset = frozenset()):
         from .. import engine as eng
 
         self.plan = plan
@@ -170,11 +183,21 @@ class FusedPlan:
                     aux_id = len(self.aux_args)
                     self.aux_args.append((base, counts_w, starts_w, grouped))
 
+            compact_pad = 0
             if strategy in ("unique_scatter", "unique_sort"):
                 out_pad = pads[pchild]  # probe-shaped, cannot overflow
+                if learned and idx != plan.root and idx not in no_compact:
+                    lp, was_compacted = learned.get(idx, (None, None))
+                    if (
+                        lp is not None and not was_compacted
+                        and lp * 4 <= out_pad
+                    ):
+                        compact_pad = lp
+                        pads[idx] = lp
             else:
                 out_pad = self.buckets.get(idx) or pads[pchild]
-            pads[idx] = out_pad
+            if compact_pad == 0:
+                pads[idx] = out_pad
             out_cols = tuple(
                 (0, ci) if ci < left_w else (1, ci - left_w)
                 for ci, _ in node.output_attrs
@@ -182,6 +205,7 @@ class FusedPlan:
             self.join_specs[idx] = _JoinSpec(
                 j.build_left, j.left, j.right, j.left_attr, j.right_attr,
                 key_dtype, out_pad, out_cols, strategy, r_pad, aux_id,
+                compact_pad,
             )
             self.col_sources[idx] = tuple(
                 self.col_sources[j.left][ci]
@@ -296,6 +320,15 @@ def _trace(structure: FusedPlan, col_args, aux_args):
                     )
                     gathered[key] = g[0]
             out_cols.append(gathered[key])
+        if spec.compact_pad:
+            # cardinality feedback: compact the probe-shaped output to
+            # its learned size inside the program, so every downstream
+            # stage runs at live-row scale
+            out_cols = list(
+                _ex._compact_probe_shaped(
+                    tuple(out_cols), live, spec.compact_pad
+                )
+            )
         tables[idx] = out_cols
 
     root_cols = tables[plan.root]

@@ -447,3 +447,51 @@ def test_cardinality_feedback_repeat_and_stale(monkeypatch):
     }
     r4 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
     assert r4 == r1
+
+
+def test_cardinality_feedback_fused_mode(monkeypatch):
+    """Fused mode shares the feedback store: repeat + poisoned learned
+    pads (forcing in-program compaction truncation retries) stay exact."""
+    monkeypatch.setenv("RJT_EXEC_MODE", "fused")
+    from radixjoin_tpu import engine
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import sorted_rows
+
+    rng = np.random.default_rng(9)
+    n_pk, n_fk = 200, 3000
+    t_pk = HostTable.from_rows(
+        [[int(k), int(k) * 3] for k in rng.permutation(n_pk)],
+        [DataType.INT64, DataType.INT64])
+    t_fk = HostTable.from_rows(
+        [[int(k)] for k in rng.integers(0, n_pk, n_fk)], [DataType.INT64])
+    t_dim = HostTable.from_rows(
+        [[int(k) * 3, int(k)] for k in range(0, n_pk, 3)],
+        [DataType.INT64, DataType.INT64])
+
+    plan = Plan()
+    a = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(t_pk)),
+                           [(0, DataType.INT64), (1, DataType.INT64)])
+    b = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(t_fk)),
+                           [(0, DataType.INT64)])
+    j1 = plan.new_join_node(True, a, b, 0, 0,
+                            [(0, DataType.INT64), (1, DataType.INT64)])
+    c = plan.new_scan_node(plan.new_input(ColumnarTable.from_host(t_dim)),
+                           [(0, DataType.INT64), (1, DataType.INT64)])
+    plan.root = plan.new_join_node(True, c, j1, 0, 1,
+                                   [(1, DataType.INT64), (2, DataType.INT64)])
+
+    ctx = engine.build_context()
+    r1 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert plan._learned_buckets
+    r2 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert r2 == r1
+    plan._learned_buckets = {
+        i: (128, fl) for i, (p, fl) in plan._learned_buckets.items()
+    }
+    r3 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert r3 == r1
+    plan._learned_buckets = {
+        i: (128, not fl) for i, (p, fl) in plan._learned_buckets.items()
+    }
+    r4 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert r4 == r1
