@@ -645,8 +645,11 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     if _estimate_device_bytes(plan) > budget:
         # working set exceeds device HBM: host-staged multi-pass radix
         host = _execute_host_partitioned(plan, budget_bytes=budget // 8)
-    elif mode == "fused":
-        # one sort-free XLA program per query (plan/fused.py)
+    elif mode in ("auto", "fused"):
+        # default: one sort-free XLA program per query (plan/fused.py).
+        # Benched fastest once warm (3747 ms JOB suite vs 4435 ms for the
+        # wave executor — one dispatch burst + one bounded fetch per
+        # query); 113/113 exact vs dual oracles in this mode.
         host = _execute_fused(plan, context)
         if host is None:
             # VARCHAR join keys can't fuse: the shape-shared executor is
@@ -657,7 +660,9 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     elif mode == "stepwise":
         host = device_table_to_host(execute_device(plan, context))
     else:
-        # default: shape-shared per-operator kernels, reused across queries
+        # RJT_EXEC_MODE=shared: shape-shared per-operator kernels reused
+        # across queries — lowest cold-start compile bill (a handful of
+        # shared programs instead of one per query)
         from .plan import executor
 
         host = executor.execute_shared(plan, _detect_unique_joins(plan))

@@ -362,8 +362,8 @@ def test_csr_index_memo_and_gates():
 
 def test_join_path_stats_counters(monkeypatch):
     """PATH_STATS records which kernel family each executed join used
-    (wave-executor counters: pin the mode)."""
-    monkeypatch.delenv("RJT_EXEC_MODE", raising=False)
+    (wave-executor counters: pin the mode — the default is fused)."""
+    monkeypatch.setenv("RJT_EXEC_MODE", "shared")
     from radixjoin_tpu.plan import executor
     from radixjoin_tpu import engine
     from radixjoin_tpu.plan.ir import Plan
@@ -403,8 +403,9 @@ def test_join_path_stats_counters(monkeypatch):
 def test_cardinality_feedback_repeat_and_stale(monkeypatch):
     """Second execution of a plan uses learned exact buckets; poisoned
     (stale/undersized) feedback must be detected and recomputed, never
-    truncating results."""
-    monkeypatch.delenv("RJT_EXEC_MODE", raising=False)
+    truncating results (wave executor; the fused variant is tested
+    below)."""
+    monkeypatch.setenv("RJT_EXEC_MODE", "shared")
     from radixjoin_tpu import engine
     from radixjoin_tpu.plan.ir import Plan
     from radixjoin_tpu.storage.columnar import sorted_rows
