@@ -165,8 +165,9 @@ def main():
 
     _partial["stage"] = "done"
     from radixjoin_tpu.plan import executor as _ex
+    from radixjoin_tpu.plan import fused as _fz
 
-    log(f"bench: join paths {_ex.path_stats()}")
+    log(f"bench: join paths wave={_ex.path_stats()} fused={_fz.path_stats()}")
     _emit(sum(per_query.values()), scale, len(names))
 
 

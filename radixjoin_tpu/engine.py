@@ -381,11 +381,24 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
         for i, (pad, was_compacted) in learned.items():
             if was_compacted:
                 buckets.setdefault(i, pad)
+    learned_root = (
+        getattr(plan, "_learned_root_rows", None) if feedback_on else None
+    )
     no_compact: set = set()
     for _attempt in range(len(plan.nodes) + 2):
-        structure = fz.FusedPlan(
-            plan, buckets, unique_joins, learned, frozenset(no_compact)
+        state_key = (
+            tuple(sorted(buckets.items())),
+            tuple(sorted(learned.items())) if learned else None,
+            frozenset(no_compact),
         )
+        cached = getattr(plan, "_fused_struct_cache", None)
+        if cached is not None and cached[0] == state_key:
+            structure = cached[1]
+        else:
+            structure = fz.FusedPlan(
+                plan, buckets, unique_joins, learned, frozenset(no_compact)
+            )
+            plan._fused_struct_cache = (state_key, structure)
         if structure.has_varchar_key:
             return None  # caller falls back to the stepwise engine
         fn = fz.compile_plan(structure)
@@ -407,7 +420,18 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
                 and k_pad * 2 * row_bytes <= prefetch_budget
             ):
                 k_pad *= 2
-            root_arrays = _exec._slice_cols(root_arrays, k_pad)
+            if learned_root is not None:
+                # feedback: we know the root row count from the previous
+                # execution — widen the prefetch window to cover it so a
+                # repeat run never pays a second fetch burst (transfer
+                # rides the same round trip; a stale undersized value
+                # still falls through to the exact second fetch below)
+                k_pad = min(
+                    root_pad,
+                    max(k_pad, join_ops.bucket_size(max(1, learned_root))),
+                )
+            if k_pad < root_pad:
+                root_arrays = _exec._slice_cols(root_arrays, k_pad)
         fetched = _exec.fetch_bundle([totals_dev] + list(root_arrays))
         totals, pre = fetched[0], fetched[1:]
 
@@ -455,7 +479,9 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
         else:
             root_total = int(totals[join_order.index(plan.root)])
 
+        fz.count_paths(structure)
         if feedback_on:
+            plan._learned_root_rows = root_total
             plan._learned_buckets = {
                 node_id: (
                     join_ops.bucket_size(int(totals[ji])),

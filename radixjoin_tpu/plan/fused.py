@@ -19,11 +19,14 @@ plan/compiler.py, removed):
 * **Sort-free join lowering.** Joins lower exactly like the executor's
   fast paths: dense-window scatter tables for FK->PK
   (ops/join.py join_unique_scatter_impl), host-CSR grouped scans for
-  general joins — on either side, with role swap (join_csr_impl) — and
-  the single-sort merge join only for joins where both children are
-  intermediates. Sort-free programs compile ~an order of magnitude
-  faster, which is what makes per-query programs affordable (the
-  first-generation compiler's all-sort programs cost ~15 s+ each).
+  general joins — on either side, with role swap (join_csr_impl).
+  Both-children-intermediate joins use a **device-built CSR** over the
+  key's origin-base-column window (join_dev_csr_impl: histogram
+  scatter + cumsum + one small build-side-only sort) when the window
+  is economic, and fall back to the single-sort merge join otherwise.
+  Sort-free programs compile ~an order of magnitude faster, which is
+  what makes per-query programs affordable (the first-generation
+  compiler's all-sort programs cost ~15 s+ each).
 * **Bounded root prefetch**: the totals and the first
   ``RJT_PREFETCH_BYTES`` worth of root rows ride one fetch; only results
   that overflow that window pay a second round trip.
@@ -76,9 +79,9 @@ class _JoinSpec:
     # output attr -> (side 0=left/1=right, column index in that child)
     out_cols: Tuple[Tuple[int, int], ...]
     #: "empty" | "unique_scatter" | "unique_sort" | "csr" | "csr_swapped"
-    #: | "merge"
+    #: | "dev_csr" | "dev_csr_swapped" | "merge"
     strategy: str
-    r_pad: int = 0  # scatter window (unique_scatter only)
+    r_pad: int = 0  # key window (unique_scatter / dev_csr*)
     aux_id: int = -1  # index into the aux arg list (scatter/csr operands)
     #: probe-shaped joins only: compact the output to this learned pad
     #: inside the program (cardinality feedback); 0 = no compaction. A
@@ -114,6 +117,9 @@ class FusedPlan:
         self.aux_args: List[Tuple] = []
         #: packed col id -> StringDict or None (dictionary provenance)
         self.dicts: List = []
+        #: packed col id -> origin HostColumn (key-window provenance for
+        #: the device-CSR general join, ops/join.py join_dev_csr_impl)
+        self.col_hosts: List = []
         # node -> per-output-attr packed col id (for root dict lookup)
         self.col_sources: Dict[int, Tuple[int, ...]] = {}
 
@@ -137,6 +143,7 @@ class FusedPlan:
                         packed[key] = len(self.col_args)
                         self.col_args.append((dev.data, dev.valid))
                         self.dicts.append(dev.dictionary)
+                        self.col_hosts.append(host.columns[col_idx])
                     col_ids.append(packed[key])
                 self.scan_specs[idx] = _ScanSpec(pad, tuple(col_ids))
                 self.col_sources[idx] = tuple(col_ids)
@@ -182,6 +189,22 @@ class FusedPlan:
                     strategy = "csr_swapped" if swapped else "csr"
                     aux_id = len(self.aux_args)
                     self.aux_args.append((base, counts_w, starts_w, grouped))
+                elif key_dtype in (DataType.INT32, DataType.INT64):
+                    # both children intermediate: device-built CSR over
+                    # the key's origin base-column window (one build-side
+                    # sort instead of the merge join's build++probe
+                    # co-sort). Prefer indexing the smaller side.
+                    dev_csr = self._dev_csr_window(
+                        plan, j, battr, pattr, bchild, pchild,
+                        pads[bchild], pads[pchild],
+                    )
+                    if dev_csr is not None:
+                        swapped, base, r_pad = dev_csr
+                        strategy = (
+                            "dev_csr_swapped" if swapped else "dev_csr"
+                        )
+                        aux_id = len(self.aux_args)
+                        self.aux_args.append((_ex._dev_scalar_i64(base),))
 
             compact_pad = 0
             if strategy in ("unique_scatter", "unique_sort"):
@@ -216,6 +239,42 @@ class FusedPlan:
 
         self.join_order = [i for i in self.order if i in self.join_specs]
         self.root_pad = pads[plan.root]
+
+    def _dev_csr_window(
+        self, plan, j, battr, pattr, bchild, pchild, bpad, ppad
+    ):
+        """Key window for the device-CSR general join (both children
+        intermediate): ``(swapped, base, r_pad)`` or None.
+
+        The window comes from the key column's *origin base column*
+        (col_sources provenance): every key value in the intermediate is
+        a gathered base value, so valid keys are in the base window by
+        construction. The smaller-padded side is preferred as the
+        indexed (sorted) side. ``RJT_DEV_CSR=off`` disables; ``force``
+        skips the window-sparseness economy test (testing)."""
+        mode = os.environ.get("RJT_DEV_CSR", "auto")
+        if mode == "off":
+            return None
+        cands = sorted([
+            (bpad, False, bchild, battr),
+            (ppad, True, pchild, pattr),
+        ])
+        for _pad, swapped, child, attr in cands:
+            hcol = self.col_hosts[self.col_sources[child][attr]]
+            rng = hcol.valid_range()
+            if rng is None:
+                # origin column has no valid values at all -> every key
+                # in the intermediate is NULL -> empty join via window
+                # misses (still exact)
+                return swapped, 0, join_ops.MIN_BUCKET
+            base, hi = rng
+            r_pad = join_ops.bucket_size(hi - base + 1)
+            if r_pad > (1 << 26):
+                continue  # cap window arrays at 256 MiB of HBM
+            if mode != "force" and r_pad > max(1 << 20, 32 * (bpad + ppad)):
+                continue  # window too sparse vs the merge-sort cost
+            return swapped, base, r_pad
+        return None
 
     def cache_key(self) -> tuple:
         scans = tuple(
@@ -294,6 +353,18 @@ def _trace(structure: FusedPlan, col_args, aux_args):
             pidx, bidx, live, total = join_ops.join_csr_impl(
                 counts_w, starts_w, grouped, kb, vb, base, spec.out_pad
             )
+        elif spec.strategy == "dev_csr":
+            (base,) = aux_args[spec.aux_id]
+            bidx, pidx, live, total = join_ops.join_dev_csr_impl(
+                kb, vb, kp, vp, base, spec.r_pad, spec.out_pad
+            )
+        elif spec.strategy == "dev_csr_swapped":
+            # probe child is the device-indexed side (same role swap as
+            # csr_swapped): kernel bidx -> probe rows, pidx -> build rows
+            (base,) = aux_args[spec.aux_id]
+            pidx, bidx, live, total = join_ops.join_dev_csr_impl(
+                kp, vp, kb, vb, base, spec.r_pad, spec.out_pad
+            )
         else:  # "merge": both children intermediate — single-sort join
             ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
                 kb, vb, kp, vp
@@ -338,6 +409,20 @@ def _trace(structure: FusedPlan, col_args, aux_args):
         jnp.stack(totals) if totals else jnp.zeros(0, dtype=jnp.int64)
     )
     return out_values, out_valid, totals_arr
+
+
+# Join-strategy observability (fused analogue of executor.path_stats):
+# tallied per successful _execute_fused run by the engine.
+PATH_STATS: Dict[str, int] = {}
+
+
+def count_paths(structure: "FusedPlan") -> None:
+    for spec in structure.join_specs.values():
+        PATH_STATS[spec.strategy] = PATH_STATS.get(spec.strategy, 0) + 1
+
+
+def path_stats() -> Dict[str, int]:
+    return dict(PATH_STATS)
 
 
 class _Ref:

@@ -496,3 +496,125 @@ def test_cardinality_feedback_fused_mode(monkeypatch):
     }
     r4 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
     assert r4 == r1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dev_csr_kernel_matches_reference(seed):
+    """join_dev_csr_impl (device-built CSR over a key window) produces the
+    exact multiset of (build_row, probe_row) pairs — duplicates fan out,
+    NULLs never match, out-of-window probe keys miss."""
+    import jax.numpy as jnp
+    from radixjoin_tpu.ops import join as join_ops
+
+    rng = np.random.default_rng(seed)
+    nb, npr = 300, 900
+    base = 1000
+    bk = rng.integers(base, base + 150, nb).astype(np.int64)
+    bv = rng.random(nb) > 0.15
+    pk = rng.integers(base - 20, base + 260, npr).astype(np.int64)
+    pv = rng.random(npr) > 0.15
+    bk[0] = bk[1]
+    bv[0] = False  # invalid build row carrying a live key
+
+    bpad = join_ops.bucket_size(nb)
+    ppad = join_ops.bucket_size(npr)
+    kb = join_ops.pad_1d(jnp.asarray(bk), bpad)
+    vb = join_ops.pad_1d(jnp.asarray(bv), bpad)
+    kp = join_ops.pad_1d(jnp.asarray(pk), ppad)
+    vp = join_ops.pad_1d(jnp.asarray(pv), ppad)
+
+    r_pad = join_ops.bucket_size(150)
+    expected = ref_join(bk, bv, pk, pv)
+    s_pad = join_ops.bucket_size(len(expected))
+    bidx, pidx, live, total = join_ops.join_dev_csr_impl(
+        kb, vb, kp, vp, jnp.int64(base), r_pad, s_pad
+    )
+    assert int(total) == len(expected)
+    live_np = np.asarray(live)
+    got = sorted(zip(
+        np.asarray(bidx)[live_np].tolist(), np.asarray(pidx)[live_np].tolist()
+    ))
+    assert got == expected
+
+
+def test_fused_dev_csr_path_matches(monkeypatch):
+    """A both-children-intermediate join in fused mode takes the dev_csr
+    path (RJT_DEV_CSR=force) and stays exact vs the stepwise engine."""
+    import jax.numpy as jnp  # noqa: F401
+    from radixjoin_tpu import engine
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import (
+        ColumnarTable, HostTable, sorted_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    # four base tables -> two FK->PK-ish joins -> a top join whose BOTH
+    # children are intermediates with duplicate keys
+    n = 400
+    t_a = HostTable.from_rows(
+        [[int(k), int(k % 7)] for k in range(60)],
+        [DataType.INT64, DataType.INT64],
+    )
+    rows_b = [[int(rng.integers(0, 60)), int(rng.integers(0, 9))]
+              for _ in range(n)]
+    t_b = HostTable.from_rows(rows_b, [DataType.INT64, DataType.INT64])
+    t_c = HostTable.from_rows(
+        [[int(k), int(k % 5)] for k in range(60)],
+        [DataType.INT64, DataType.INT64],
+    )
+    rows_d = [[int(rng.integers(0, 60)), int(rng.integers(0, 9))]
+              for _ in range(n)]
+    t_d = HostTable.from_rows(rows_d, [DataType.INT64, DataType.INT64])
+
+    def build_plan():
+        plan = Plan()
+        a = plan.new_scan_node(
+            plan.new_input(ColumnarTable.from_host(t_a)),
+            [(0, DataType.INT64), (1, DataType.INT64)])
+        b = plan.new_scan_node(
+            plan.new_input(ColumnarTable.from_host(t_b)),
+            [(0, DataType.INT64), (1, DataType.INT64)])
+        j1 = plan.new_join_node(True, a, b, 0, 0,
+                                [(1, DataType.INT64), (3, DataType.INT64)])
+        c = plan.new_scan_node(
+            plan.new_input(ColumnarTable.from_host(t_c)),
+            [(0, DataType.INT64), (1, DataType.INT64)])
+        d = plan.new_scan_node(
+            plan.new_input(ColumnarTable.from_host(t_d)),
+            [(0, DataType.INT64), (1, DataType.INT64)])
+        j2 = plan.new_join_node(True, c, d, 0, 0,
+                                [(1, DataType.INT64), (3, DataType.INT64)])
+        # both children intermediates, keys = payload mods (duplicates)
+        plan.root = plan.new_join_node(
+            True, j1, j2, 1, 1,
+            [(0, DataType.INT64), (2, DataType.INT64), (3, DataType.INT64)])
+        return plan
+
+    ctx = engine.build_context()
+    monkeypatch.setenv("RJT_EXEC_MODE", "stepwise")
+    expected = sorted_rows(
+        engine.execute(build_plan(), ctx).to_host().to_rows())
+
+    monkeypatch.setenv("RJT_EXEC_MODE", "fused")
+    monkeypatch.setenv("RJT_DEV_CSR", "force")
+    plan = build_plan()
+    got = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert got == expected
+    from radixjoin_tpu.plan import fused as fz
+    structure = plan._fused_struct_cache[1]
+    strategies = [s.strategy for s in structure.join_specs.values()]
+    assert any(s.startswith("dev_csr") for s in strategies), strategies
+
+    # repeat run exercises cardinality feedback over the dev_csr path
+    got2 = sorted_rows(engine.execute(plan, ctx).to_host().to_rows())
+    assert got2 == expected
+
+    monkeypatch.setenv("RJT_DEV_CSR", "off")
+    plan3 = build_plan()
+    got3 = sorted_rows(engine.execute(plan3, ctx).to_host().to_rows())
+    assert got3 == expected
+    structure3 = plan3._fused_struct_cache[1]
+    assert not any(
+        s.strategy.startswith("dev_csr")
+        for s in structure3.join_specs.values()
+    )
