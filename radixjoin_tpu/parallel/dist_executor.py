@@ -1,0 +1,261 @@
+"""Distributed whole-plan execution over a device mesh.
+
+Runs an entire :class:`~radixjoin_tpu.plan.ir.Plan` (the same IR the
+single-chip engine executes, reference include/plan.h:27-149) SPMD over a
+1-D device mesh: every base table is row-sharded across the mesh, every
+join is the hash-partitioned all-to-all shuffle join (dist_join.py) with
+skew-aware heavy-hitter broadcast, and **intermediates never leave the
+mesh** — a join's sharded output columns feed the next join's shuffle
+directly, so the only host syncs are one count-phase total per join and
+the final result gather.
+
+The reference has no distribution at all (single process + OpenMP,
+SURVEY.md §2 checklist); this is the plan-level form of the new
+capability mandated by BASELINE.json's north star (multi-host shuffle
+join over ICI/DCN). On a multi-host pod slice the same code runs
+unchanged — the mesh axis spans all devices and XLA routes the
+collectives over ICI/DCN.
+
+Semantics match the single-chip engine exactly (NULL keys never match,
+duplicate fan-out, type-mismatch => empty, NULL payloads flow through —
+src/execute.cpp:62-83, :232-243): ``tests/test_distributed.py`` checks
+full JOB plans on an 8-device CPU mesh against the sqlite oracle.
+
+VARCHAR join *keys* are not distributed (dictionary unification is a
+host operation; JOB never joins on strings, reference
+ANNOUNCEMENTS.md:11) — ``execute_distributed`` raises and the caller
+falls back to the single-chip engine. VARCHAR payloads flow through as
+dictionary ids and rehydrate at the final gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..dtypes import DataType
+from ..plan.ir import Plan, ScanNode
+from ..storage.columnar import HostColumn, HostTable, StringDict, gather_varlen
+from .dist_join import (
+    DistJoinConfig,
+    _pad_to_shards,
+    detect_hot_keys,
+    distributed_join_device,
+)
+from .mesh import make_mesh, shard_axis
+
+_F64_SIGN = np.int64(np.int64(-2) ** 63)
+
+
+@dataclasses.dataclass
+class _NodeRes:
+    """One executed plan node on the mesh: per-output-attr sharded
+    (data, valid) pairs, a sharded row-liveness mask, exact row total,
+    and per-attr dictionary provenance (VARCHAR)."""
+
+    cols: List[Tuple]  # [(data, valid), ...] sharded along the mesh axis
+    live: object  # sharded bool, or None (scan: validity == liveness)
+    total: int
+    dicts: List[Optional[StringDict]]
+
+
+def _canon_f64_np(values: np.ndarray, valid: np.ndarray):
+    bits = values.view(np.int64)
+    canon = np.where(bits == _F64_SIGN, np.int64(0), bits)
+    return canon, valid & ~np.isnan(values)
+
+
+def _shard_scan(plan: Plan, node, mesh) -> _NodeRes:
+    """Row-shard one base table's projected columns across the mesh."""
+    table = plan.inputs[node.data.base_table_id]
+    host = table.to_host()
+    ndev = mesh.devices.size
+    sharding = shard_axis(mesh)
+    n = host.num_rows
+    cols, dicts = [], []
+    live_np = _pad_to_shards(np.ones(max(n, 1), dtype=bool), ndev, fill=False)
+    if n == 0:
+        live_np[:] = False
+    import jax
+
+    put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+    for ci, dt in node.output_attrs:
+        col = host.columns[ci]
+        if col.dtype is not dt:
+            raise TypeError(
+                f"scan output attr {ci}: declared {dt}, stored {col.dtype}"
+            )
+        valid = col.valid
+        if dt is DataType.VARCHAR:
+            from .. import engine as eng
+
+            dev = eng.host_column_to_device(col, max(n, 1))
+            data = np.asarray(dev.data)[: max(n, 1)]
+            dicts.append(dev.dictionary)
+        elif dt is DataType.FP64:
+            data, valid = _canon_f64_np(col.values, col.valid)
+            dicts.append(None)
+        else:
+            data = col.values
+            dicts.append(None)
+        data = _pad_to_shards(np.asarray(data), ndev)
+        v = _pad_to_shards(valid.astype(bool), ndev, fill=False)
+        if n == 0:
+            v[:] = False
+        cols.append((put(data), put(v)))
+    return _NodeRes(cols, put(live_np), n, dicts)
+
+
+def _empty_res(output_attrs, mesh) -> _NodeRes:
+    import jax
+
+    ndev = mesh.devices.size
+    sharding = shard_axis(mesh)
+    pad = ndev * 16
+    put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+    cols, dicts = [], []
+    for _, dt in output_attrs:
+        npdt = np.int64 if dt in (DataType.INT64, DataType.FP64) else np.int32
+        cols.append((put(np.zeros(pad, npdt)), put(np.zeros(pad, bool))))
+        dicts.append(StringDict.empty() if dt is DataType.VARCHAR else None)
+    return _NodeRes(cols, put(np.zeros(pad, bool)), 0, dicts)
+
+
+def _join_node(
+    plan: Plan, node, left: _NodeRes, right: _NodeRes, mesh,
+    config: DistJoinConfig,
+) -> _NodeRes:
+    j = node.data
+    if left.total == 0 or right.total == 0:
+        return _empty_res(node.output_attrs, mesh)
+
+    lt = plan.nodes[j.left].output_attrs[j.left_attr][1]
+    rt = plan.nodes[j.right].output_attrs[j.right_attr][1]
+    if lt is not rt:
+        return _empty_res(node.output_attrs, mesh)
+    if lt is DataType.VARCHAR:
+        raise NotImplementedError(
+            "VARCHAR join keys are not distributed (host dictionary "
+            "unification); use the single-chip engine"
+        )
+
+    if j.build_left:
+        build, probe = left, right
+        battr, pattr = j.left_attr, j.right_attr
+    else:
+        build, probe = right, left
+        battr, pattr = j.right_attr, j.left_attr
+
+    def side_args(res: _NodeRes, attr: int, prefix: str):
+        kd, kv = res.cols[attr]
+        kv = kv if res.live is None else kv & res.live
+        payloads = {}
+        for i, (d, v) in enumerate(res.cols):
+            payloads[f"{prefix}{i}"] = d
+            payloads[f"{prefix}v{i}"] = (
+                v if res.live is None else v & res.live
+            )
+        return kd.astype(jnp.int64), kv, payloads
+
+    kb, vb, bpl = side_args(build, battr, "b")
+    kp, vp, ppl = side_args(probe, pattr, "p")
+
+    # heavy-hitter detection samples the probe side; the keys live on the
+    # mesh, so subsample device-side (strided) and fetch only the sample
+    ndev = mesh.devices.size
+    pl = kp.shape[0] // ndev
+    cap_p = max(16, int(config.capacity_factor * pl / ndev) + 1)
+    stride = max(1, kp.shape[0] // config.sample_size)
+    # the strided subsample under-counts population frequency by `stride`;
+    # scaling the capacity passed to the detector compensates exactly
+    hot_keys, hot_valid = detect_hot_keys(
+        np.asarray(kp[::stride]), np.asarray(vp[::stride]),
+        config, ndev, max(1, cap_p // stride),
+    )
+
+    columns, live, totals = distributed_join_device(
+        kb, vb, bpl, kp, vp, ppl, mesh, hot_keys, hot_valid, config
+    )
+    total = int(np.sum(np.asarray(totals)))
+    if total == 0:
+        return _empty_res(node.output_attrs, mesh)
+
+    bname = "b" if j.build_left else "p"
+    rname = "p" if j.build_left else "b"
+    left_w = len(left.cols)
+    cols, dicts = [], []
+    for ci, dt in node.output_attrs:
+        if ci < left_w:
+            prefix, child, cc = bname, left, ci
+        else:
+            prefix, child, cc = rname, right, ci - left_w
+        data = columns[f"{prefix}.{prefix}{cc}"]
+        valid = columns[f"{prefix}.{prefix}v{cc}"] & live
+        cols.append((data, valid))
+        dicts.append(child.dicts[cc])
+    return _NodeRes(cols, live, total, dicts)
+
+
+def execute_distributed(
+    plan: Plan,
+    mesh=None,
+    config: Optional[DistJoinConfig] = None,
+) -> HostTable:
+    """Evaluate ``plan`` across the mesh; gather the root to a HostTable."""
+    plan.validate()
+    mesh = mesh or make_mesh()
+    config = config or DistJoinConfig()
+
+    results: Dict[int, _NodeRes] = {}
+    for idx in plan.topo_order():
+        node = plan.nodes[idx]
+        if isinstance(node.data, ScanNode):
+            results[idx] = _shard_scan(plan, node, mesh)
+        else:
+            results[idx] = _join_node(
+                plan, node,
+                results[node.data.left], results[node.data.right],
+                mesh, config,
+            )
+
+    root = results[plan.root]
+    root_node = plan.nodes[plan.root]
+    n = root.total
+    if root.live is None:
+        live_np = np.zeros(0, bool)  # scan root: slice below
+    else:
+        live_np = np.asarray(root.live)
+    cols: List[HostColumn] = []
+    for k, (ci, dt) in enumerate(root_node.output_attrs):
+        data_d, valid_d = root.cols[k]
+        if root.live is None:
+            values = np.asarray(data_d)[:n]
+            valid = np.asarray(valid_d)[:n]
+        else:
+            values = np.asarray(data_d)[live_np]
+            valid = np.asarray(valid_d)[live_np]
+        if dt is DataType.VARCHAR:
+            d = root.dicts[k] or StringDict.empty()
+            if len(values) == 0 or d.size == 0:
+                cols.append(HostColumn.varchar(
+                    np.zeros(0, np.uint8),
+                    np.zeros(len(values), np.int64),
+                    valid,
+                ))
+            else:
+                ids = np.clip(values, 0, d.size - 1)
+                starts = np.where(valid, d.starts[ids], 0)
+                lengths = np.where(valid, d.lengths[ids], 0)
+                heap, ends = gather_varlen(d.heap, starts, lengths)
+                cols.append(HostColumn.varchar(heap, ends, valid))
+        elif dt is DataType.FP64:
+            cols.append(HostColumn(
+                dt, np.asarray(values, np.int64).view(np.float64), valid
+            ))
+        else:
+            cols.append(HostColumn(dt, values.astype(dt.numpy_dtype), valid))
+    return HostTable(n, cols)

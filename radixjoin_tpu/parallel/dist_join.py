@@ -147,10 +147,14 @@ def _materialize_phase(
     )
     out = {}
     out["__build_key"] = jnp.where(live, jk[bidx], 0)
+    # preserve payload dtypes: a bare 0 fill would promote bool payloads
+    # (e.g. chained validity columns) to ints
     for name, values in jp.items():
-        out[f"b.{name}"] = jnp.where(live, values[bidx], 0)
+        zero = jnp.zeros((), dtype=values.dtype)
+        out[f"b.{name}"] = jnp.where(live, values[bidx], zero)
     for name, values in pp.items():
-        out[f"p.{name}"] = jnp.where(live, values[pidx], 0)
+        zero = jnp.zeros((), dtype=values.dtype)
+        out[f"p.{name}"] = jnp.where(live, values[pidx], zero)
     return out, live, total[None]
 
 

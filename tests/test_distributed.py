@@ -112,3 +112,65 @@ def test_distributed_matches_hot_and_cold_disjoint(mesh):
     pv = np.ones(np_, dtype=bool)
     config = DistJoinConfig(max_hot_keys=4)
     run_and_compare(bk, bv, {}, pk, pv, {"p": np.arange(np_, dtype=np.int64)}, mesh, config)
+
+
+# ---------------------------------------------------------------------------
+# Whole-plan distributed execution (parallel/dist_executor.py): full JOB
+# plans on the 8-device mesh, intermediates never leave the mesh, results
+# exact vs the row-semantics oracle.
+# ---------------------------------------------------------------------------
+
+import json
+
+import pytest
+
+from radixjoin_tpu.harness import datagen, oracle
+from radixjoin_tpu.harness.run import JobHarness, TableSource
+from radixjoin_tpu.parallel.dist_executor import execute_distributed
+
+PLANS = "/root/reference/plans.json"
+SQL_DIR = "/root/reference/job"
+
+
+@pytest.fixture(scope="module")
+def job_harness():
+    doc = json.load(open(PLANS))
+    queries = datagen.load_job_queries(SQL_DIR, doc["names"])
+    gen = datagen.SyntheticIMDB(scale=0.0004, seed=7, queries=queries)
+    tables = gen.generate()
+    return JobHarness(PLANS, TableSource(host_tables=tables), SQL_DIR)
+
+
+# short plans keep the per-join shard_map compile bill affordable on the
+# virtual CPU mesh; 8d exercises duplicate-heavy joins, 3b FP64-free
+# mid-tree, 1a the canonical 4-join chain
+@pytest.mark.parametrize("name", ["1a", "3b", "8d"])
+def test_distributed_full_plan_job(job_harness, name):
+    _, plan = job_harness.build_plan(name)
+    result = execute_distributed(plan)
+    actual = result.to_rows()
+    expected = oracle.execute_plan_rows(plan)
+    correct, detail = oracle.rows_equal(actual, expected)
+    assert correct, f"{name}: {detail}"
+
+
+def test_distributed_plan_empty_and_mismatch(mesh):
+    """Type-mismatch joins and empty children are empty, like the
+    single-chip engine (src/execute.cpp:50, :75-83)."""
+    from radixjoin_tpu.dtypes import DataType
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import ColumnarTable, HostTable
+
+    plan = Plan()
+    t0 = plan.new_input(ColumnarTable.from_host(HostTable.from_rows(
+        [[1, 10], [2, 20]], [DataType.INT32, DataType.INT64])))
+    t1 = plan.new_input(ColumnarTable.from_host(HostTable.from_rows(
+        [[10, 1]], [DataType.INT64, DataType.INT32])))
+    s0 = plan.new_scan_node(t0, [(0, DataType.INT32), (1, DataType.INT64)])
+    s1 = plan.new_scan_node(t1, [(1, DataType.INT32)])
+    # INT32 vs INT64 key mismatch -> statically empty
+    plan.root = plan.new_join_node(
+        True, s0, s1, 1, 0, [(0, DataType.INT32), (2, DataType.INT32)]
+    )
+    out = execute_distributed(plan, mesh=mesh)
+    assert out.num_rows == 0

@@ -91,18 +91,84 @@ def run_one(ndev: int, rows_per_dev: int, skew: float, reps: int) -> dict:
     }
 
 
+def run_one_plan(ndev: int, rows_per_dev: int, reps: int) -> dict:
+    """Child-process body for --mode plan: a 3-join star-schema Plan runs
+    end to end on the mesh via parallel.execute_distributed (whole-plan
+    SPMD — intermediates never leave the devices)."""
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from radixjoin_tpu.dtypes import DataType
+    from radixjoin_tpu.parallel import execute_distributed, make_mesh
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import ColumnarTable, HostTable
+
+    mesh = make_mesh(ndev)
+    rng = np.random.default_rng(0)
+    n_fact = rows_per_dev * ndev
+    n_d1, n_d2 = max(256, n_fact // 16), max(64, n_fact // 64)
+
+    def table(rows, types):
+        return ColumnarTable.from_host(HostTable.from_rows(rows, types))
+
+    plan = Plan()
+    fact_rows = np.stack([
+        rng.integers(0, n_d1, n_fact),
+        rng.integers(0, n_d2 * 2, n_fact),  # half miss dimension 2
+    ], axis=1).astype(np.int64)
+    f = plan.new_scan_node(
+        plan.new_input(table(fact_rows.tolist(),
+                             [DataType.INT64, DataType.INT64])),
+        [(0, DataType.INT64), (1, DataType.INT64)])
+    d1 = plan.new_scan_node(
+        plan.new_input(table([[int(k), int(k % 31)] for k in range(n_d1)],
+                             [DataType.INT64, DataType.INT64])),
+        [(0, DataType.INT64), (1, DataType.INT64)])
+    j1 = plan.new_join_node(True, d1, f, 0, 0,
+                            [(1, DataType.INT64), (3, DataType.INT64)])
+    d2 = plan.new_scan_node(
+        plan.new_input(table([[int(k), int(k * 7)] for k in range(n_d2)],
+                             [DataType.INT64, DataType.INT64])),
+        [(0, DataType.INT64), (1, DataType.INT64)])
+    plan.root = plan.new_join_node(True, d2, j1, 0, 1,
+                                   [(1, DataType.INT64), (2, DataType.INT64)])
+
+    out = execute_distributed(plan, mesh=mesh)  # warmup (compiles)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = execute_distributed(plan, mesh=mesh)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return {
+        "ndev": ndev,
+        "probe_rows": n_fact,
+        "out_rows": out.num_rows,
+        "s": best,
+        "probe_rows_per_s": n_fact / best,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ndev", default="1,2,4,8")
     ap.add_argument("--rows", type=int, default=200_000, help="probe rows/device")
     ap.add_argument("--skew", type=float, default=0.2)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--mode", choices=["join", "plan"], default="join",
+                    help="join: one shuffle join; plan: whole-plan "
+                         "distributed execution (3-join star schema)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--child", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.child is not None:
-        result = run_one(args.child, args.rows, args.skew, args.reps)
+        if args.mode == "plan":
+            result = run_one_plan(args.child, args.rows, args.reps)
+        else:
+            result = run_one(args.child, args.rows, args.skew, args.reps)
         print("CHILD_RESULT " + json.dumps(result))
         return
 
@@ -118,7 +184,7 @@ def main():
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(ndev),
              "--rows", str(args.rows), "--skew", str(args.skew),
-             "--reps", str(args.reps)],
+             "--reps", str(args.reps), "--mode", args.mode],
             env=env, capture_output=True, text=True,
         )
         if proc.returncode != 0:
