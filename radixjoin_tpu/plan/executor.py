@@ -241,6 +241,77 @@ def _child_csr_index(plan: Plan, child_idx: int, attr: int,
     return _csr_device(hcol)
 
 
+def _origin_host_column(plan: Plan, node_idx: int, attr: int):
+    """Provenance walk: the base HostColumn a node's output attr descends
+    from (every join output column is a gather of some scan column), or
+    None for non-integer origins. Pure plan analysis — no runtime data."""
+    node = plan.nodes[node_idx]
+    if isinstance(node.data, ScanNode):
+        col_idx, dt = node.output_attrs[attr]
+        if dt not in (DataType.INT32, DataType.INT64):
+            return None
+        return plan.inputs[node.data.base_table_id].to_host().columns[col_idx]
+    j = node.data
+    left_w = len(plan.nodes[j.left].output_attrs)
+    ci, _dt = node.output_attrs[attr]
+    if ci < left_w:
+        return _origin_host_column(plan, j.left, ci)
+    return _origin_host_column(plan, j.right, ci - left_w)
+
+
+def _dev_csr_window(plan: Plan, j, battr: int, pattr: int,
+                    bpad: int, ppad: int):
+    """Key window for the device-CSR general join (both children
+    intermediate): ``(swapped, base, r_pad)`` or None.
+
+    The window comes from the key column's origin base column
+    (:func:`_origin_host_column`): every key value in an intermediate is
+    a gathered base value, so valid keys are in-window by construction.
+    The smaller-padded side is preferred as the indexed (sorted) side.
+    ``RJT_DEV_CSR=off`` disables; ``force`` skips the economy test."""
+    import os
+
+    mode = os.environ.get("RJT_DEV_CSR", "auto")
+    if mode == "off":
+        return None
+    bchild = j.left if j.build_left else j.right
+    pchild = j.right if j.build_left else j.left
+    cands = sorted([
+        (bpad, False, bchild, battr),
+        (ppad, True, pchild, pattr),
+    ])
+    for _pad, swapped, child, attr in cands:
+        hcol = _origin_host_column(plan, child, attr)
+        if hcol is None:
+            continue
+        rng = hcol.valid_range()
+        if rng is None:
+            # origin column has no valid values -> all keys NULL ->
+            # empty join via window misses (still exact)
+            return swapped, 0, join_ops.MIN_BUCKET
+        base, hi = rng
+        r_pad = join_ops.bucket_size(hi - base + 1)
+        if r_pad > (1 << 26):
+            continue  # cap window arrays at 256 MiB of HBM
+        if mode != "force" and r_pad > max(1 << 20, 32 * (bpad + ppad)):
+            continue  # window too sparse vs the merge-sort cost
+        return swapped, base, r_pad
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("r_pad", "s_pad"))
+def _join_dev_csr(kb, vb, kp, vp, base, bcols, pcols, r_pad: int, s_pad: int):
+    """Device-built CSR general join (ops/join.py join_dev_csr_impl):
+    histogram + cumsum over the key window + one indexed-side-only sort.
+    Same contract as _join_general_csr."""
+    bidx, pidx, live, total = join_ops.join_dev_csr_impl(
+        kb, vb, kp, vp, base, r_pad, s_pad
+    )
+    out_b = _gather_cols(bcols, bidx, live)
+    out_p = _gather_cols(pcols, pidx, live)
+    return out_b, out_p, live, total
+
+
 def _general_csr_index(plan: Plan, j, battr: int, pattr: int,
                        bpad: int, ppad: int):
     """CSR index for a general join: ``(index, swapped)`` or None.
@@ -809,22 +880,46 @@ def _run_join(
                     tuple(bcols), tuple(pcols), out_pad,
                 )
         else:
-            # classify the fallback for path_stats: which gate failed?
-            bchild = plan.nodes[j.left if j.build_left else j.right]
-            pchild = plan.nodes[j.right if j.build_left else j.left]
-            if not isinstance(bchild.data, ScanNode):
-                why = (
-                    "probe_scan" if isinstance(pchild.data, ScanNode)
-                    else "no_scan"
-                )
-            elif bcol.dtype not in (DataType.INT32, DataType.INT64):
-                why = "non_int"
-            else:
-                why = "sparse_window"
-            _count_path(f"general_merge[{why}]")
-            out_b, out_p, _live, total = _general_impl()(
-                kb, vb, kp, vp, tuple(bcols), tuple(pcols), out_pad
+            dev_win = (
+                _dev_csr_window(plan, j, battr, pattr,
+                                kb.shape[0], kp.shape[0])
+                if bcol.dtype in (DataType.INT32, DataType.INT64)
+                else None
             )
+            if dev_win is not None:
+                swapped, base, r_pad = dev_win
+                if swapped:
+                    # indexed side = probe child (role swap, see the
+                    # host-CSR swap above)
+                    _count_path("dev_csr_swapped")
+                    out_p2, out_b2, _live, total = _join_dev_csr(
+                        kp, vp, kb, vb, _dev_scalar_i64(base),
+                        tuple(pcols), tuple(bcols), r_pad, out_pad,
+                    )
+                    out_b, out_p = out_b2, out_p2
+                else:
+                    _count_path("dev_csr")
+                    out_b, out_p, _live, total = _join_dev_csr(
+                        kb, vb, kp, vp, _dev_scalar_i64(base),
+                        tuple(bcols), tuple(pcols), r_pad, out_pad,
+                    )
+            else:
+                # classify the fallback for path_stats: which gate failed?
+                bchild = plan.nodes[j.left if j.build_left else j.right]
+                pchild = plan.nodes[j.right if j.build_left else j.left]
+                if not isinstance(bchild.data, ScanNode):
+                    why = (
+                        "probe_scan" if isinstance(pchild.data, ScanNode)
+                        else "no_scan"
+                    )
+                elif bcol.dtype not in (DataType.INT32, DataType.INT64):
+                    why = "non_int"
+                else:
+                    why = "sparse_window"
+                _count_path(f"general_merge[{why}]")
+                out_b, out_p, _live, total = _general_impl()(
+                    kb, vb, kp, vp, tuple(bcols), tuple(pcols), out_pad
+                )
         pad = out_pad
         compacted = True
         live = None

@@ -117,9 +117,6 @@ class FusedPlan:
         self.aux_args: List[Tuple] = []
         #: packed col id -> StringDict or None (dictionary provenance)
         self.dicts: List = []
-        #: packed col id -> origin HostColumn (key-window provenance for
-        #: the device-CSR general join, ops/join.py join_dev_csr_impl)
-        self.col_hosts: List = []
         # node -> per-output-attr packed col id (for root dict lookup)
         self.col_sources: Dict[int, Tuple[int, ...]] = {}
 
@@ -143,7 +140,6 @@ class FusedPlan:
                         packed[key] = len(self.col_args)
                         self.col_args.append((dev.data, dev.valid))
                         self.dicts.append(dev.dictionary)
-                        self.col_hosts.append(host.columns[col_idx])
                     col_ids.append(packed[key])
                 self.scan_specs[idx] = _ScanSpec(pad, tuple(col_ids))
                 self.col_sources[idx] = tuple(col_ids)
@@ -194,8 +190,8 @@ class FusedPlan:
                     # the key's origin base-column window (one build-side
                     # sort instead of the merge join's build++probe
                     # co-sort). Prefer indexing the smaller side.
-                    dev_csr = self._dev_csr_window(
-                        plan, j, battr, pattr, bchild, pchild,
+                    dev_csr = _ex._dev_csr_window(
+                        plan, j, battr, pattr,
                         pads[bchild], pads[pchild],
                     )
                     if dev_csr is not None:
@@ -240,41 +236,6 @@ class FusedPlan:
         self.join_order = [i for i in self.order if i in self.join_specs]
         self.root_pad = pads[plan.root]
 
-    def _dev_csr_window(
-        self, plan, j, battr, pattr, bchild, pchild, bpad, ppad
-    ):
-        """Key window for the device-CSR general join (both children
-        intermediate): ``(swapped, base, r_pad)`` or None.
-
-        The window comes from the key column's *origin base column*
-        (col_sources provenance): every key value in the intermediate is
-        a gathered base value, so valid keys are in the base window by
-        construction. The smaller-padded side is preferred as the
-        indexed (sorted) side. ``RJT_DEV_CSR=off`` disables; ``force``
-        skips the window-sparseness economy test (testing)."""
-        mode = os.environ.get("RJT_DEV_CSR", "auto")
-        if mode == "off":
-            return None
-        cands = sorted([
-            (bpad, False, bchild, battr),
-            (ppad, True, pchild, pattr),
-        ])
-        for _pad, swapped, child, attr in cands:
-            hcol = self.col_hosts[self.col_sources[child][attr]]
-            rng = hcol.valid_range()
-            if rng is None:
-                # origin column has no valid values at all -> every key
-                # in the intermediate is NULL -> empty join via window
-                # misses (still exact)
-                return swapped, 0, join_ops.MIN_BUCKET
-            base, hi = rng
-            r_pad = join_ops.bucket_size(hi - base + 1)
-            if r_pad > (1 << 26):
-                continue  # cap window arrays at 256 MiB of HBM
-            if mode != "force" and r_pad > max(1 << 20, 32 * (bpad + ppad)):
-                continue  # window too sparse vs the merge-sort cost
-            return swapped, base, r_pad
-        return None
 
     def cache_key(self) -> tuple:
         scans = tuple(

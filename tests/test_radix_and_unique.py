@@ -618,3 +618,65 @@ def test_fused_dev_csr_path_matches(monkeypatch):
         s.strategy.startswith("dev_csr")
         for s in structure3.join_specs.values()
     )
+
+
+def test_wave_executor_dev_csr_path_matches(monkeypatch):
+    """The shape-shared wave executor's both-intermediate joins also take
+    the dev_csr path and stay exact vs the stepwise engine."""
+    from radixjoin_tpu import engine
+    from radixjoin_tpu.plan import executor as ex
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import (
+        ColumnarTable, HostTable, sorted_rows,
+    )
+
+    rng = np.random.default_rng(11)
+    t_dim = HostTable.from_rows(
+        [[int(k), int(k % 6)] for k in range(80)],
+        [DataType.INT64, DataType.INT64])
+    t_fact = HostTable.from_rows(
+        [[int(rng.integers(0, 80)), int(rng.integers(0, 8))]
+         for _ in range(500)],
+        [DataType.INT64, DataType.INT64])
+
+    def build_plan():
+        plan = Plan()
+        a = plan.new_scan_node(
+            plan.new_input(ColumnarTable.from_host(t_dim)),
+            [(0, DataType.INT64), (1, DataType.INT64)])
+        b = plan.new_scan_node(
+            plan.new_input(ColumnarTable.from_host(t_fact)),
+            [(0, DataType.INT64), (1, DataType.INT64)])
+        j1 = plan.new_join_node(True, a, b, 0, 0,
+                                [(1, DataType.INT64), (3, DataType.INT64)])
+        c = plan.new_scan_node(
+            plan.new_input(ColumnarTable.from_host(t_dim)),
+            [(0, DataType.INT64), (1, DataType.INT64)])
+        d = plan.new_scan_node(
+            plan.new_input(ColumnarTable.from_host(t_fact)),
+            [(0, DataType.INT64), (1, DataType.INT64)])
+        j2 = plan.new_join_node(True, c, d, 0, 0,
+                                [(1, DataType.INT64), (3, DataType.INT64)])
+        plan.root = plan.new_join_node(
+            True, j1, j2, 0, 0,
+            [(0, DataType.INT64), (1, DataType.INT64), (3, DataType.INT64)])
+        return plan
+
+    ctx = engine.build_context()
+    monkeypatch.setenv("RJT_EXEC_MODE", "stepwise")
+    expected = sorted_rows(
+        engine.execute(build_plan(), ctx).to_host().to_rows())
+
+    monkeypatch.setenv("RJT_EXEC_MODE", "shared")
+    monkeypatch.setenv("RJT_DEV_CSR", "force")
+    before = ex.path_stats().get("dev_csr", 0) + ex.path_stats().get(
+        "dev_csr_swapped", 0)
+    got = sorted_rows(engine.execute(build_plan(), ctx).to_host().to_rows())
+    assert got == expected
+    after = ex.path_stats().get("dev_csr", 0) + ex.path_stats().get(
+        "dev_csr_swapped", 0)
+    assert after > before, ex.path_stats()
+
+    monkeypatch.setenv("RJT_DEV_CSR", "off")
+    got2 = sorted_rows(engine.execute(build_plan(), ctx).to_host().to_rows())
+    assert got2 == expected
