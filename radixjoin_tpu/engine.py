@@ -652,8 +652,9 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     Equivalent to the reference ``Contest::execute`` (src/execute.cpp:316-324).
     Uses the fused whole-plan program when the working set fits the device
     HBM budget; spills to the host-staged multi-pass radix executor when it
-    does not; falls back to the stepwise device engine for VARCHAR join
-    keys.
+    does not. The shape-shared wave executor is the fallback for the rare
+    plan the fused compiler declines (e.g. a VARCHAR key column with no
+    dictionary).
     """
     import os
 

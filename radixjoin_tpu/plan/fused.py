@@ -37,9 +37,11 @@ probe child's pad; the program emits exact per-join totals, the host
 checks ``total <= bucket`` after the fetch, and overflows (rare) re-run
 with exact buckets — results are always exact, never silently truncated.
 
-VARCHAR join *keys* cannot fuse (dictionary unification needs host
-string data): those plans fall back to the stepwise engine, like before
-(JOB never joins on strings, reference ANNOUNCEMENTS.md:11). VARCHAR
+VARCHAR join *keys* fuse too: the two origin dictionaries (reachable
+through ``col_sources`` provenance) are unified on the host once per
+column pair, the id remaps ride in as operands, and the join lowers as
+a device-CSR over the unified id space (JOB never joins on strings,
+reference ANNOUNCEMENTS.md:11, but generic workloads do). VARCHAR
 payload columns flow through as dictionary ids.
 """
 
@@ -150,9 +152,6 @@ class FusedPlan:
             lt = plan.nodes[j.left].output_attrs[j.left_attr][1]
             rt = plan.nodes[j.right].output_attrs[j.right_attr][1]
             key_dtype = lt if lt is rt else None
-            if key_dtype is DataType.VARCHAR:
-                self.has_varchar_key = True
-                return  # caller falls back; no point building further
             battr = j.left_attr if j.build_left else j.right_attr
             pattr = j.right_attr if j.build_left else j.left_attr
             bchild = j.left if j.build_left else j.right
@@ -161,6 +160,24 @@ class FusedPlan:
             strategy, r_pad, aux_id = "merge", 0, -1
             if key_dtype is None:
                 strategy = "empty"
+            elif key_dtype is DataType.VARCHAR:
+                # dictionary ids flow through gathers unchanged, so the
+                # origin dictionaries (via col_sources provenance) are
+                # unified on the host — once per column pair — and the
+                # join runs as a device-CSR over unified ids (JOB never
+                # joins on strings, reference ANNOUNCEMENTS.md:11, but
+                # generic workloads do)
+                hv = self._varchar_dev_csr(
+                    bchild, battr, pchild, pattr,
+                    pads[bchild], pads[pchild],
+                )
+                if hv is None:
+                    self.has_varchar_key = True
+                    return  # caller falls back to the stepwise engine
+                swapped, aux, r_pad = hv
+                strategy = "dev_csr_swapped" if swapped else "dev_csr"
+                aux_id = len(self.aux_args)
+                self.aux_args.append(aux)
             elif (
                 idx in unique_joins
                 and key_dtype in (DataType.INT32, DataType.INT64)
@@ -237,6 +254,24 @@ class FusedPlan:
         self.root_pad = pads[plan.root]
 
 
+    def _varchar_dev_csr(self, bchild, battr, pchild, pattr, bpad, ppad):
+        """VARCHAR join key lowering: ``(swapped, aux, r_pad)`` or None.
+
+        ``aux`` = (base scalar 0, build-side remap, probe-side remap) —
+        the remaps carry each side's dictionary ids onto the unified id
+        space. The window is the unified dictionary size (dense by
+        construction). The smaller-padded side is indexed."""
+        da = self.dicts[self.col_sources[bchild][battr]]
+        db = self.dicts[self.col_sources[pchild][pattr]]
+        if da is None or db is None:
+            return None
+        remap_b, remap_p, size = _unified_remap(da, db)
+        r_pad = join_ops.bucket_size(max(size, 1))
+        if r_pad > (1 << 26):
+            return None
+        swapped = ppad < bpad
+        return swapped, (_ex._dev_scalar_i64(0), remap_b, remap_p), r_pad
+
     def cache_key(self) -> tuple:
         scans = tuple(
             (i, s.pad, s.cols) for i, s in self.scan_specs.items()
@@ -253,6 +288,45 @@ class FusedPlan:
 _F64_SIGN = np.int64(np.int64(-2) ** 63)
 _F64_EXP = np.int64(0x7FF0000000000000)
 _F64_MANT = np.int64(0x000FFFFFFFFFFFFF)
+
+
+# Unified-dictionary remap memo for VARCHAR join keys. Keyed by object
+# identity of the two StringDicts — safe because dictionaries live for
+# the process lifetime in the per-column upload memo, and pinned here
+# regardless so ids can never be reused.
+_REMAP_MEMO: Dict[Tuple[int, int], Tuple] = {}
+_REMAP_PIN: List = []
+
+
+def _unified_remap(da, db):
+    """Map two dictionaries onto one joint id space (exact, memoized).
+    Returns (remap_a_dev, remap_b_dev, joint_size)."""
+    key = (id(da), id(db))
+    hit = _REMAP_MEMO.get(key)
+    if hit is None:
+        oa, ob = da.objects(), db.objects()
+        if len(oa) or len(ob):
+            combined = np.concatenate([oa, ob])
+            uniq, inverse = np.unique(combined, return_inverse=True)
+            ra = inverse[: len(oa)].astype(np.int32)
+            rb = inverse[len(oa):].astype(np.int32)
+            size = len(uniq)
+        else:
+            ra = np.zeros(0, np.int32)
+            rb = np.zeros(0, np.int32)
+            size = 0
+        hit = (jax.device_put(ra), jax.device_put(rb), size)
+        _REMAP_MEMO[key] = hit
+        _REMAP_PIN.extend((da, db))
+    return hit
+
+
+def _remap_ids(ids, mapping):
+    """Dictionary ids -> unified ids (invalid rows carry arbitrary ids;
+    they are clamped here and masked by validity in the kernels)."""
+    if mapping.shape[0] == 0:
+        return jnp.zeros_like(ids)
+    return mapping[jnp.clip(ids, 0, mapping.shape[0] - 1)]
 
 
 def _normalize_key(data, valid, dt: DataType):
@@ -314,18 +388,26 @@ def _trace(structure: FusedPlan, col_args, aux_args):
             pidx, bidx, live, total = join_ops.join_csr_impl(
                 counts_w, starts_w, grouped, kb, vb, base, spec.out_pad
             )
-        elif spec.strategy == "dev_csr":
-            (base,) = aux_args[spec.aux_id]
-            bidx, pidx, live, total = join_ops.join_dev_csr_impl(
-                kb, vb, kp, vp, base, spec.r_pad, spec.out_pad
-            )
-        elif spec.strategy == "dev_csr_swapped":
-            # probe child is the device-indexed side (same role swap as
-            # csr_swapped): kernel bidx -> probe rows, pidx -> build rows
-            (base,) = aux_args[spec.aux_id]
-            pidx, bidx, live, total = join_ops.join_dev_csr_impl(
-                kp, vp, kb, vb, base, spec.r_pad, spec.out_pad
-            )
+        elif spec.strategy in ("dev_csr", "dev_csr_swapped"):
+            aux = aux_args[spec.aux_id]
+            if spec.key_dtype is DataType.VARCHAR:
+                # dictionary ids -> unified id space, then join as ints
+                base, rb_map, rp_map = aux
+                kb = _remap_ids(kb, rb_map)
+                kp = _remap_ids(kp, rp_map)
+            else:
+                (base,) = aux
+            if spec.strategy == "dev_csr":
+                bidx, pidx, live, total = join_ops.join_dev_csr_impl(
+                    kb, vb, kp, vp, base, spec.r_pad, spec.out_pad
+                )
+            else:
+                # probe child is the device-indexed side (same role swap
+                # as csr_swapped): kernel bidx -> probe rows, pidx ->
+                # build rows
+                pidx, bidx, live, total = join_ops.join_dev_csr_impl(
+                    kp, vp, kb, vb, base, spec.r_pad, spec.out_pad
+                )
         else:  # "merge": both children intermediate — single-sort join
             ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
                 kb, vb, kp, vp

@@ -363,3 +363,44 @@ def test_malformed_plans_raise_value_error():
     p.root = j
     with pytest.raises(ValueError):
         run(p)
+
+
+def test_varchar_join_keys_fuse():
+    """VARCHAR join keys lower in the fused compiler (unified-dictionary
+    device-CSR), not via the wave-executor fallback — duplicates, NULLs,
+    and strings private to one side all behave."""
+    from radixjoin_tpu import engine
+
+    rows_l = [[b"apple", 1], [b"pear", 2], [None, 3], [b"apple", 4],
+              [b"quince", 5]]
+    rows_r = [[b"apple", 10], [b"plum", 11], [None, 12], [b"pear", 13],
+              [b"apple", 14]]
+    t_l = HostTable.from_rows(rows_l, [DataType.VARCHAR, DataType.INT64])
+    t_r = HostTable.from_rows(rows_r, [DataType.VARCHAR, DataType.INT64])
+    plan = Plan()
+    s0 = plan.new_scan_node(
+        plan.new_input(ColumnarTable.from_host(t_l)),
+        [(0, DataType.VARCHAR), (1, DataType.INT64)])
+    s1 = plan.new_scan_node(
+        plan.new_input(ColumnarTable.from_host(t_r)),
+        [(0, DataType.VARCHAR), (1, DataType.INT64)])
+    plan.root = plan.new_join_node(
+        True, s0, s1, 0, 0,
+        [(1, DataType.INT64), (0, DataType.VARCHAR), (3, DataType.INT64)])
+
+    result = engine.execute(plan, engine.build_context())
+    got = sorted_rows(result.to_host().to_rows())
+    expected = sorted_rows([
+        (1, b"apple", 10), (1, b"apple", 14),
+        (4, b"apple", 10), (4, b"apple", 14),
+        (2, b"pear", 13),
+    ])
+    assert got == expected
+    structure = plan._fused_struct_cache[1]
+    assert not structure.has_varchar_key
+    strategies = [s.strategy for s in structure.join_specs.values()]
+    assert all(s.startswith("dev_csr") for s in strategies), strategies
+    # repeat (cardinality feedback over the varchar path)
+    got2 = sorted_rows(engine.execute(plan, engine.build_context())
+                       .to_host().to_rows())
+    assert got2 == expected
