@@ -1,6 +1,7 @@
 from .mesh import make_mesh, shard_axis
 from .dist_join import DistJoinConfig, distributed_join
 from .dist_executor import execute_distributed
+from . import multihost
 
 __all__ = [
     "make_mesh",
@@ -8,4 +9,5 @@ __all__ = [
     "DistJoinConfig",
     "distributed_join",
     "execute_distributed",
+    "multihost",
 ]

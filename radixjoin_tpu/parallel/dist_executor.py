@@ -46,6 +46,7 @@ from .dist_join import (
     detect_hot_keys,
     distributed_join_device,
 )
+from . import multihost
 from .mesh import make_mesh, shard_axis
 
 _F64_SIGN = np.int64(np.int64(-2) ** 63)
@@ -80,9 +81,8 @@ def _shard_scan(plan: Plan, node, mesh) -> _NodeRes:
     live_np = _pad_to_shards(np.ones(max(n, 1), dtype=bool), ndev, fill=False)
     if n == 0:
         live_np[:] = False
-    import jax
 
-    put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+    put = lambda a: multihost.put_sharded(a, sharding)  # noqa: E731
     for ci, dt in node.output_attrs:
         col = host.columns[ci]
         if col.dtype is not dt:
@@ -111,12 +111,10 @@ def _shard_scan(plan: Plan, node, mesh) -> _NodeRes:
 
 
 def _empty_res(output_attrs, mesh) -> _NodeRes:
-    import jax
-
     ndev = mesh.devices.size
     sharding = shard_axis(mesh)
     pad = ndev * 16
-    put = lambda a: jax.device_put(a, sharding)  # noqa: E731
+    put = lambda a: multihost.put_sharded(a, sharding)  # noqa: E731
     cols, dicts = [], []
     for _, dt in output_attrs:
         npdt = np.int64 if dt in (DataType.INT64, DataType.FP64) else np.int32
@@ -173,14 +171,15 @@ def _join_node(
     # the strided subsample under-counts population frequency by `stride`;
     # scaling the capacity passed to the detector compensates exactly
     hot_keys, hot_valid = detect_hot_keys(
-        np.asarray(kp[::stride]), np.asarray(vp[::stride]),
+        multihost.fetch(kp[::stride], mesh),
+        multihost.fetch(vp[::stride], mesh),
         config, ndev, max(1, cap_p // stride),
     )
 
     columns, live, totals = distributed_join_device(
         kb, vb, bpl, kp, vp, ppl, mesh, hot_keys, hot_valid, config
     )
-    total = int(np.sum(np.asarray(totals)))
+    total = int(np.sum(multihost.fetch(totals, mesh)))
     if total == 0:
         return _empty_res(node.output_attrs, mesh)
 
@@ -228,16 +227,16 @@ def execute_distributed(
     if root.live is None:
         live_np = np.zeros(0, bool)  # scan root: slice below
     else:
-        live_np = np.asarray(root.live)
+        live_np = multihost.fetch(root.live, mesh)
     cols: List[HostColumn] = []
     for k, (ci, dt) in enumerate(root_node.output_attrs):
         data_d, valid_d = root.cols[k]
         if root.live is None:
-            values = np.asarray(data_d)[:n]
-            valid = np.asarray(valid_d)[:n]
+            values = multihost.fetch(data_d, mesh)[:n]
+            valid = multihost.fetch(valid_d, mesh)[:n]
         else:
-            values = np.asarray(data_d)[live_np]
-            valid = np.asarray(valid_d)[live_np]
+            values = multihost.fetch(data_d, mesh)[live_np]
+            valid = multihost.fetch(valid_d, mesh)[live_np]
         if dt is DataType.VARCHAR:
             d = root.dicts[k] or StringDict.empty()
             if len(values) == 0 or d.size == 0:

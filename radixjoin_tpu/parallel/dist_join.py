@@ -36,6 +36,7 @@ from jax import shard_map
 
 from ..ops import join as join_ops
 from .mesh import SHARD_AXIS, make_mesh
+from . import multihost
 from . import shuffle as shuffle_ops
 
 
@@ -240,7 +241,7 @@ def shard_inputs(
     bpl = {k: _pad_to_shards(v, ndev) for k, v in build_payloads.items()}
     ppl = {k: _pad_to_shards(v, ndev) for k, v in probe_payloads.items()}
     shard = NamedSharding(mesh, P(SHARD_AXIS))
-    put = functools.partial(jax.device_put, device=shard)
+    put = functools.partial(multihost.put_sharded, sharding=shard)
     return (
         put(kb), put(vb), {k: put(v) for k, v in bpl.items()},
         put(kp), put(vp), {k: put(v) for k, v in ppl.items()},
@@ -261,8 +262,10 @@ def distributed_join_device(
     pl = kp_d.shape[0] // ndev
     bnames = tuple(bpl_d)
     pnames = tuple(ppl_d)
-    hk = jnp.asarray(hot_keys)
-    hv = jnp.asarray(hot_valid)
+    # numpy (host-replicated) values: under multi-process every process
+    # passes the same bytes, matching the replicated P() in_spec
+    hk = np.asarray(hot_keys)
+    hv = np.asarray(hot_valid)
 
     cf = config.capacity_factor
     for _attempt in range(config.max_retries):
@@ -273,13 +276,13 @@ def distributed_join_device(
             "count", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames
         )
         totals, overflow = count_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
-        if int(np.max(np.asarray(overflow))) == 0:
+        if int(np.max(multihost.fetch(overflow, mesh))) == 0:
             break
         cf *= 2.0
     else:
         raise RuntimeError("shuffle capacity overflow persisted after retries")
 
-    s_pad = join_ops.bucket_size(int(np.max(np.asarray(totals))))
+    s_pad = join_ops.bucket_size(int(np.max(multihost.fetch(totals, mesh))))
     mat_fn = _phase_fn(
         "materialize", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames, s_pad
     )
@@ -321,7 +324,13 @@ def distributed_join(
     )
 
 
-def collect_to_host(columns, live) -> Dict[str, np.ndarray]:
-    """Concatenate the sharded output to dense host arrays (drops padding)."""
+def collect_to_host(columns, live, mesh=None) -> Dict[str, np.ndarray]:
+    """Concatenate the sharded output to dense host arrays (drops padding).
+
+    Pass ``mesh`` under multi-process execution so the gather rides an
+    XLA all-gather (every process receives the full result)."""
+    if mesh is not None:
+        live_np = multihost.fetch(live, mesh)
+        return {k: multihost.fetch(v, mesh)[live_np] for k, v in columns.items()}
     live_np = np.asarray(live)
     return {k: np.asarray(v)[live_np] for k, v in columns.items()}

@@ -1,0 +1,130 @@
+"""One process of a multi-host distributed-join cluster (test worker).
+
+Launched N times by ``tests/test_multihost.py`` (and usable by hand for
+ad-hoc cluster runs). Each process owns ``--local-devices`` CPU devices;
+together they form one global mesh over which ``execute_distributed``
+runs the whole plan SPMD — the cross-process form of the capability in
+SURVEY.md §7 build order step 6 (the reference has no network code at
+all, SURVEY.md §2 checklist).
+
+Every process builds the identical plan from a seeded generator (the
+replicated-input contract of ``parallel/multihost.py``), executes, and
+checks the gathered result against the row-semantics oracle, so a
+collective mis-route on ANY rank fails that rank's assertion.
+
+Usage:
+  python tools/multihost_worker.py --pid 0 --nprocs 2 --port 19841 \
+      --local-devices 4 --out /tmp/rank0.txt
+"""
+
+import argparse
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--nprocs", type=int, required=True)
+    ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--scenario", default="two_join")
+    args = ap.parse_args()
+
+    # Platform must be pinned before any backend initializes (the dev
+    # environment's sitecustomize pins the TPU plugin).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags
+            + f" --xla_force_host_platform_device_count={args.local_devices}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from radixjoin_tpu.parallel import multihost
+
+    multihost.init(f"localhost:{args.port}", args.nprocs, args.pid)
+    assert jax.process_count() == args.nprocs
+    assert jax.device_count() == args.nprocs * args.local_devices
+
+    import numpy as np
+
+    from radixjoin_tpu.dtypes import DataType
+    from radixjoin_tpu.harness import oracle
+    from radixjoin_tpu.parallel import make_mesh
+    from radixjoin_tpu.parallel.dist_executor import execute_distributed
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import ColumnarTable, HostTable
+
+    rng = np.random.default_rng(42)  # identical tables on every rank
+
+    def int_col(n, lo, hi, null_frac):
+        vals = rng.integers(lo, hi, n)
+        nulls = rng.random(n) < null_frac
+        return [None if nz else int(v) for v, nz in zip(vals, nulls)]
+
+    n_a, n_b, n_c = 3000, 800, 1200
+    # table a: fact side with a skewed FK (heavy hitter key 7)
+    fk = rng.integers(0, 600, n_a)
+    fk[rng.random(n_a) < 0.30] = 7
+    rows_a = [
+        [None if rng.random() < 0.03 else int(k), float(i) / 3.0, i]
+        for i, k in enumerate(fk)
+    ]
+    rows_b = [
+        [int(k), f"name_{k}".encode()] for k in rng.permutation(900)[:n_b]
+    ]
+    rows_c = [[v, i] for i, v in enumerate(int_col(n_c, 0, 50, 0.05))]
+
+    ta = HostTable.from_rows(rows_a, [DataType.INT64, DataType.FP64, DataType.INT64])
+    tb = HostTable.from_rows(rows_b, [DataType.INT64, DataType.VARCHAR])
+    tc = HostTable.from_rows(rows_c, [DataType.INT32, DataType.INT64])
+
+    plan = Plan()
+    sa = plan.new_scan_node(
+        plan.new_input(ColumnarTable.from_host(ta)),
+        [(0, DataType.INT64), (1, DataType.FP64), (2, DataType.INT64)],
+    )
+    sb = plan.new_scan_node(
+        plan.new_input(ColumnarTable.from_host(tb)),
+        [(0, DataType.INT64), (1, DataType.VARCHAR)],
+    )
+    j1 = plan.new_join_node(
+        True, sb, sa, 0, 0,
+        [(1, DataType.VARCHAR), (2, DataType.INT64), (3, DataType.FP64),
+         (4, DataType.INT64)],
+    )
+    sc = plan.new_scan_node(
+        plan.new_input(ColumnarTable.from_host(tc)),
+        [(0, DataType.INT32), (1, DataType.INT64)],
+    )
+    # j1 col 3 is a's row id (INT64); join (j1 ⋈ c) on small-domain keys:
+    # remap a's row id into [0,50) via modulo is not expressible in the
+    # plan IR, so join instead on c.v (INT32) vs ... keep types equal:
+    # join j1.k2 (INT64 payload a-rowid) with c.payload (INT64) — sparse
+    # matches exercise the near-empty path; the heavy lifting is j1.
+    j2 = plan.new_join_node(
+        False, j1, sc, 3, 1,
+        [(0, DataType.VARCHAR), (1, DataType.INT64), (2, DataType.FP64),
+         (4, DataType.INT32)],
+    )
+    plan.root = j2
+
+    result = execute_distributed(plan, mesh=make_mesh())
+    actual = result.to_rows()
+    expected = oracle.execute_plan_rows(plan)
+    correct, detail = oracle.rows_equal(actual, expected)
+    assert correct, f"rank {args.pid}: {detail}"
+
+    with open(args.out, "w") as f:
+        f.write(f"OK {len(actual)}\n")
+    print(f"[rank {args.pid}] OK rows={len(actual)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
