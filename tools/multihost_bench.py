@@ -1,0 +1,102 @@
+"""Multi-host scaling-efficiency measurement (SURVEY.md §7 step 6).
+
+Runs the identical global shuffle-join problem under two decompositions
+of the same 8-device CPU mesh:
+
+- 1 process x 8 devices (every collective stays in-process), and
+- 2 processes x 4 devices (half the all-to-all lanes cross a process
+  boundary over gloo/TCP — the DCN analogue of a TPU pod's cross-host
+  hops; real multi-chip hardware is not available in this environment).
+
+Efficiency = t(1 proc) / t(2 procs) for constant global work: the
+fraction of single-controller throughput that survives the process
+boundary. Writes ``benchmarks/multihost_cluster.json``.
+
+Usage: python tools/multihost_bench.py [--rows N] [--repeats R]
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def run_cluster(nprocs: int, local_devices: int, rows: int, repeats: int):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    with tempfile.TemporaryDirectory() as td:
+        outs = [os.path.join(td, f"rank{p}.json") for p in range(nprocs)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, WORKER, "--pid", str(p),
+                 "--nprocs", str(nprocs), "--port", str(port),
+                 "--local-devices", str(local_devices),
+                 "--out", outs[p], "--scenario", "bench_join",
+                 "--bench-rows", str(rows), "--repeats", str(repeats)],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+            for p in range(nprocs)
+        ]
+        logs = [p.communicate(timeout=1800)[0] for p in procs]
+        for p, log in zip(procs, logs):
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed:\n{log[-3000:]}")
+        with open(outs[0]) as f:
+            return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 21)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "benchmarks", "multihost_cluster.json"))
+    args = ap.parse_args()
+
+    single = run_cluster(1, 8, args.rows, args.repeats)
+    print(f"1 proc x 8 dev: {single['best_ms']} ms "
+          f"({single['result_rows']} rows)", flush=True)
+    double = run_cluster(2, 4, args.rows, args.repeats)
+    print(f"2 proc x 4 dev: {double['best_ms']} ms "
+          f"({double['result_rows']} rows)", flush=True)
+    assert single["result_rows"] == double["result_rows"], "results differ!"
+
+    eff = single["best_ms"] / double["best_ms"]
+    record = {
+        "description": (
+            "same global shuffle join under 1x8 vs 2x4 process "
+            "decompositions of an 8-device CPU mesh (gloo cross-process "
+            "collectives; the DCN analogue available in this environment)"
+        ),
+        "probe_rows": single["probe_rows"],
+        "build_rows": single["build_rows"],
+        "result_rows": single["result_rows"],
+        "single_process_ms": single["best_ms"],
+        "two_process_ms": double["best_ms"],
+        "cross_process_efficiency": round(eff, 3),
+        "single": single,
+        "double": double,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(f"cross-process efficiency: {eff:.1%} -> {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

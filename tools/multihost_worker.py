@@ -29,7 +29,11 @@ def main():
     ap.add_argument("--port", type=int, required=True)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--scenario", default="two_join")
+    ap.add_argument("--scenario", default="two_join",
+                    choices=["two_join", "bench_join"])
+    ap.add_argument("--bench-rows", type=int, default=1 << 20,
+                    help="global probe rows for --scenario bench_join")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     # Platform must be pinned before any backend initializes (the dev
@@ -53,6 +57,10 @@ def main():
     assert jax.device_count() == args.nprocs * args.local_devices
 
     import numpy as np
+
+    if args.scenario == "bench_join":
+        _bench_join(args)
+        return
 
     from radixjoin_tpu.dtypes import DataType
     from radixjoin_tpu.harness import oracle
@@ -124,6 +132,74 @@ def main():
     with open(args.out, "w") as f:
         f.write(f"OK {len(actual)}\n")
     print(f"[rank {args.pid}] OK rows={len(actual)}", flush=True)
+
+
+def _bench_join(args):
+    """Timed distributed shuffle join at fixed global size.
+
+    The same global problem runs under any process decomposition of the
+    mesh, so the orchestrator (tools/multihost_bench.py) can compare
+    1-process x 8-device against 2-process x 4-device and report the
+    process-boundary (DCN-analogue) efficiency. Skewed probe keys keep
+    the hot-key broadcast path live. Rank 0 writes best-of timings."""
+    import json
+    import time
+
+    import numpy as np
+
+    from radixjoin_tpu.parallel import DistJoinConfig, make_mesh
+    from radixjoin_tpu.parallel.dist_join import (
+        detect_hot_keys, distributed_join_device, shard_inputs,
+    )
+    from radixjoin_tpu.parallel import multihost
+
+    n_probe = args.bench_rows
+    n_build = n_probe // 4
+    rng = np.random.default_rng(11)  # identical on every rank
+    bk = rng.permutation(n_build * 2)[:n_build].astype(np.int64)
+    bv = rng.random(n_build) > 0.02
+    pk = rng.integers(0, n_build * 2, n_probe).astype(np.int64)
+    pk[rng.random(n_probe) < 0.10] = int(bk[0])  # one heavy hitter
+    pv = rng.random(n_probe) > 0.02
+    bp = {"x": rng.integers(0, 1 << 20, n_build).astype(np.int32)}
+    pp = {"y": rng.integers(0, 1 << 20, n_probe).astype(np.int32)}
+
+    mesh = make_mesh()
+    config = DistJoinConfig()
+    kb, vb, bpl, kp, vp, ppl = shard_inputs(mesh, bk, bv, bp, pk, pv, pp)
+    ndev = mesh.devices.size
+    cap_p = max(16, int(config.capacity_factor * (kp.shape[0] // ndev) / ndev) + 1)
+    hot_keys, hot_valid = detect_hot_keys(pk, pv, config, ndev, cap_p)
+
+    times = []
+    total = None
+    for _ in range(max(1, args.repeats) + 1):  # first rep = warmup/compile
+        t0 = time.perf_counter()
+        columns, live, totals = distributed_join_device(
+            kb, vb, bpl, kp, vp, ppl, mesh, hot_keys, hot_valid, config
+        )
+        total = int(np.sum(multihost.fetch(totals, mesh)))
+        times.append((time.perf_counter() - t0) * 1e3)
+    best = min(times[1:])
+    import jax
+
+    record = {
+        "scenario": "bench_join",
+        "processes": jax.process_count(),
+        "global_devices": jax.device_count(),
+        "probe_rows": n_probe,
+        "build_rows": n_build,
+        "result_rows": total,
+        "best_ms": round(best, 2),
+        "times_ms": [round(t, 2) for t in times],
+    }
+    if args.pid == 0:
+        with open(args.out, "w") as f:
+            json.dump(record, f)
+    else:
+        with open(args.out, "w") as f:
+            f.write("OK\n")
+    print(f"[rank {args.pid}] bench {record}", flush=True)
 
 
 if __name__ == "__main__":
