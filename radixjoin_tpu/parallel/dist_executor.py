@@ -21,11 +21,10 @@ duplicate fan-out, type-mismatch => empty, NULL payloads flow through —
 src/execute.cpp:62-83, :232-243): ``tests/test_distributed.py`` checks
 full JOB plans on an 8-device CPU mesh against the sqlite oracle.
 
-VARCHAR join *keys* are not distributed (dictionary unification is a
-host operation; JOB never joins on strings, reference
-ANNOUNCEMENTS.md:11) — ``execute_distributed`` raises and the caller
-falls back to the single-chip engine. VARCHAR payloads flow through as
-dictionary ids and rehydrate at the final gather.
+VARCHAR join keys are unified on the host (``np.unique`` over the two
+sides' dictionaries, like the single-chip engine) into one joint id
+space, then joined as i64 ids on the mesh; VARCHAR payloads flow through
+as dictionary ids and rehydrate at the final gather.
 """
 
 from __future__ import annotations
@@ -35,6 +34,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..dtypes import DataType
@@ -64,10 +64,26 @@ class _NodeRes:
     dicts: List[Optional[StringDict]]
 
 
-def _canon_f64_np(values: np.ndarray, valid: np.ndarray):
-    bits = values.view(np.int64)
-    canon = np.where(bits == _F64_SIGN, np.int64(0), bits)
-    return canon, valid & ~np.isnan(values)
+_F64_EXP = np.int64(0x7FF0000000000000)
+_F64_MANT = np.int64(0x000FFFFFFFFFFFFF)
+_F64_KEY_FN = None
+
+
+def _canon_f64_keys(bits, valid):
+    """FP64 join-key canonicalization on the mesh: -0.0 == +0.0, NaN never
+    matches. Applied only to the key view at join time — stored FP64
+    columns keep raw bits so NaN/-0.0 *payloads* survive to the output
+    (reference semantics: NULL-drop applies to keys, src/execute.cpp:62-83,
+    while payload values flow through untouched)."""
+    global _F64_KEY_FN
+    if _F64_KEY_FN is None:
+
+        def canon(b, v):
+            is_nan = ((b & _F64_EXP) == _F64_EXP) & ((b & _F64_MANT) != 0)
+            return jnp.where(b == _F64_SIGN, jnp.int64(0), b), v & ~is_nan
+
+        _F64_KEY_FN = jax.jit(canon)
+    return _F64_KEY_FN(bits, valid)
 
 
 def _shard_scan(plan: Plan, node, mesh) -> _NodeRes:
@@ -97,7 +113,7 @@ def _shard_scan(plan: Plan, node, mesh) -> _NodeRes:
             data = np.asarray(dev.data)[: max(n, 1)]
             dicts.append(dev.dictionary)
         elif dt is DataType.FP64:
-            data, valid = _canon_f64_np(col.values, col.valid)
+            data = col.values.view(np.int64)  # raw bits; keys canonicalized at join time
             dicts.append(None)
         else:
             data = col.values
@@ -123,6 +139,37 @@ def _empty_res(output_attrs, mesh) -> _NodeRes:
     return _NodeRes(cols, put(np.zeros(pad, bool)), 0, dicts)
 
 
+_REMAP_FN = None
+
+
+def _unify_varchar_keys(kb, kp, db, dp, mesh):
+    """Remap both sides' dictionary ids onto one joint id space so i64
+    equality == string equality — the distributed form of the single-chip
+    engine's ``_unify_dictionaries`` (engine.py). Unification is a host
+    ``np.unique`` over the two (small) dictionaries; the resulting LUTs
+    are replicated across the mesh and the sharded id columns are
+    remapped elementwise, so no reshard of the key columns happens."""
+    ob = db.objects() if db is not None else np.empty(0, object)
+    op = dp.objects() if dp is not None else np.empty(0, object)
+    if not (len(ob) and len(op)):
+        # one side has no string values at all: no id can match; rows on
+        # that side are already invalid, so the raw ids are fine
+        return kb, kp
+    _, inverse = np.unique(np.concatenate([ob, op]), return_inverse=True)
+    rep = multihost.put_sharded  # replicated upload below
+    from .mesh import replicated
+
+    lut_b = rep(inverse[: len(ob)].astype(np.int64), replicated(mesh))
+    lut_p = rep(inverse[len(ob):].astype(np.int64), replicated(mesh))
+
+    global _REMAP_FN
+    if _REMAP_FN is None:
+        _REMAP_FN = jax.jit(
+            lambda lut, ids: lut[jnp.clip(ids, 0, lut.shape[0] - 1)]
+        )
+    return _REMAP_FN(lut_b, kb), _REMAP_FN(lut_p, kp)
+
+
 def _join_node(
     plan: Plan, node, left: _NodeRes, right: _NodeRes, mesh,
     config: DistJoinConfig,
@@ -135,11 +182,6 @@ def _join_node(
     rt = plan.nodes[j.right].output_attrs[j.right_attr][1]
     if lt is not rt:
         return _empty_res(node.output_attrs, mesh)
-    if lt is DataType.VARCHAR:
-        raise NotImplementedError(
-            "VARCHAR join keys are not distributed (host dictionary "
-            "unification); use the single-chip engine"
-        )
 
     if j.build_left:
         build, probe = left, right
@@ -161,6 +203,13 @@ def _join_node(
 
     kb, vb, bpl = side_args(build, battr, "b")
     kp, vp, ppl = side_args(probe, pattr, "p")
+    if lt is DataType.VARCHAR:
+        kb, kp = _unify_varchar_keys(
+            kb, kp, build.dicts[battr], probe.dicts[pattr], mesh
+        )
+    elif lt is DataType.FP64:
+        kb, vb = _canon_f64_keys(kb, vb)
+        kp, vp = _canon_f64_keys(kp, vp)
 
     # heavy-hitter detection samples the probe side; the keys live on the
     # mesh, so subsample device-side (strided) and fetch only the sample
