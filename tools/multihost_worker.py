@@ -121,7 +121,20 @@ def main():
         [(0, DataType.VARCHAR), (1, DataType.INT64), (2, DataType.FP64),
          (4, DataType.INT32)],
     )
-    plan.root = j2
+    # table d: VARCHAR join key — pins the cross-process unified-dictionary
+    # path (host np.unique + replicated LUT upload on a multi-process mesh)
+    rows_d = [[f"name_{k}".encode(), int(k)] for k in range(0, 900, 3)]
+    td = HostTable.from_rows(rows_d, [DataType.VARCHAR, DataType.INT32])
+    sd = plan.new_scan_node(
+        plan.new_input(ColumnarTable.from_host(td)),
+        [(0, DataType.VARCHAR), (1, DataType.INT32)],
+    )
+    j3 = plan.new_join_node(
+        True, j2, sd, 0, 0,
+        [(0, DataType.VARCHAR), (3, DataType.INT32), (5, DataType.INT32),
+         (2, DataType.FP64)],
+    )
+    plan.root = j3
 
     result = execute_distributed(plan, mesh=make_mesh())
     actual = result.to_rows()
