@@ -126,6 +126,23 @@ def test_fuzz_all_engine_modes(seed, monkeypatch):
 
 
 @pytest.mark.parametrize("seed", range(4))
+def test_fuzz_spill_executor(seed, monkeypatch):
+    # A tiny HBM budget forces every plan through the out-of-HBM
+    # host-staged multi-pass radix executor (engine._execute_host_partitioned).
+    monkeypatch.setenv("RJT_HBM_BUDGET_BYTES", "4096")
+    rng = np.random.default_rng(3000 + seed)
+    plan = gen_plan(rng)
+    expected = _mask_nan(execute_plan_rows(plan))
+    ctx = build_context()
+    try:
+        actual = _mask_nan(execute(plan, ctx).to_host().to_rows())
+    finally:
+        destroy_context(ctx)
+    ok, msg = rows_equal(actual, expected)
+    assert ok, f"seed {seed} spill: {msg}"
+
+
+@pytest.mark.parametrize("seed", range(4))
 def test_fuzz_distributed(seed):
     from radixjoin_tpu.parallel.dist_executor import execute_distributed
 
