@@ -273,6 +273,12 @@ class FusedPlan:
         return swapped, (_ex._dev_scalar_i64(0), remap_b, remap_p), r_pad
 
     def cache_key(self) -> tuple:
+        # Structures are memoized per plan state (engine._execute_fused)
+        # and immutable once built, so the key is computed once: the
+        # astuple walk costs ~0.5 ms and would otherwise run per execute.
+        key = getattr(self, "_cache_key", None)
+        if key is not None:
+            return key
         scans = tuple(
             (i, s.pad, s.cols) for i, s in self.scan_specs.items()
         )
@@ -282,7 +288,8 @@ class FusedPlan:
         )
         root = self.plan.root
         root_attrs = tuple(self.plan.nodes[root].output_attrs)
-        return (scans, joins, root, root_attrs)
+        self._cache_key = (scans, joins, root, root_attrs)
+        return self._cache_key
 
 
 _F64_SIGN = np.int64(np.int64(-2) ** 63)
