@@ -60,3 +60,29 @@ def test_job_query_sortfree_paths(setup, monkeypatch, env, name):
         name, verify=True, sqlite_oracle=sqlite_oracle
     )
     assert correct, f"{name} with {env}: {detail}"
+
+
+def test_job_query_from_csv_ingest(setup, tmp_path):
+    """Full CSV ingest path (reference Table::from_csv,
+    build_table.cpp:135-304): the same synthetic tables written to
+    reference-dialect CSVs, parsed back by the native streaming parser
+    with filter pushdown, must produce identical query results."""
+    from radixjoin_tpu.storage import ingest
+
+    harness, sqlite_oracle = setup
+    tables = harness.source.host_tables
+    csv_dir = tmp_path / "imdb"
+    csv_dir.mkdir()
+    for name, table in tables.items():
+        ingest.write_csv(str(csv_dir / f"{name}.csv"), table)
+
+    csv_source = TableSource(csv_dir=str(csv_dir))
+    csv_harness = JobHarness(PLANS, csv_source, SQL_DIR)
+    try:
+        for name in ("1a", "3b", "16b"):
+            result, _, correct, detail = csv_harness.run_query(
+                name, verify=True, sqlite_oracle=sqlite_oracle
+            )
+            assert correct, f"{name} via CSV ingest: {detail}"
+    finally:
+        csv_harness.close()
