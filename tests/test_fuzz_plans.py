@@ -125,6 +125,39 @@ def test_fuzz_all_engine_modes(seed, monkeypatch):
         assert ok, f"seed {seed} mode {mode}: {msg}"
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_fuzz_high_fanout_with_feedback(seed):
+    # Few distinct keys on both sides -> output rows >> input rows,
+    # exercising exact-totals overflow retry, compaction pads, and (on
+    # the repeat run) cardinality feedback + the learned root window.
+    rng = np.random.default_rng(4000 + seed)
+    n1, n2 = int(rng.integers(500, 2000)), int(rng.integers(500, 2000))
+    dom = int(rng.integers(3, 12))
+    r1 = [(int(k), i) for i, k in enumerate(rng.integers(0, dom, n1))]
+    r2 = [(int(k), i * 2) for i, k in enumerate(rng.integers(0, dom, n2))]
+    plan = Plan()
+    plan.new_scan_node(0, [(0, I32), (1, I64)])
+    plan.new_scan_node(1, [(0, I32), (1, I64)])
+    plan.new_join_node(
+        bool(rng.random() < 0.5), 0, 1, 0, 0, [(1, I64), (3, I64), (0, I32)]
+    )
+    for rows in (r1, r2):
+        plan.inputs.append(
+            ColumnarTable.from_host(HostTable.from_rows(rows, [I32, I64]))
+        )
+    plan.root = 2
+    expected = execute_plan_rows(plan)
+    ctx = build_context()
+    try:
+        first = execute(plan, ctx).to_host().to_rows()
+        repeat = execute(plan, ctx).to_host().to_rows()
+    finally:
+        destroy_context(ctx)
+    for tag, actual in (("first", first), ("repeat", repeat)):
+        ok, msg = rows_equal(actual, expected)
+        assert ok, f"seed {seed} {tag}: {msg}"
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_spill_executor(seed, monkeypatch):
     # A tiny HBM budget forces every plan through the out-of-HBM
