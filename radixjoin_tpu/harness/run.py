@@ -90,11 +90,26 @@ class JobHarness:
         )
         return parsed, plan
 
+    distributed = False  # set by main's --distributed flag
+    _mesh = None
+
     def run_query(self, name: str, verify: bool = False, sqlite_oracle=None):
         parsed, plan = self.build_plan(name)
-        t0 = time.perf_counter()
-        result = execute(plan, self.context)
-        runtime_ms = (time.perf_counter() - t0) * 1e3
+        if self.distributed:
+            from ..parallel import make_mesh
+            from ..parallel.dist_executor import execute_distributed
+            from ..storage.columnar import ColumnarTable
+
+            if self._mesh is None:
+                self._mesh = make_mesh()
+            t0 = time.perf_counter()
+            host = execute_distributed(plan, mesh=self._mesh)
+            result = ColumnarTable.from_host(host)  # paged, like execute()
+            runtime_ms = (time.perf_counter() - t0) * 1e3
+        else:
+            t0 = time.perf_counter()
+            result = execute(plan, self.context)
+            runtime_ms = (time.perf_counter() - t0) * 1e3
         correct = None
         detail = None
         if verify:
@@ -132,6 +147,10 @@ def main(argv=None):
                              "when every verified query is correct (the "
                              "reference's BENCHMARK_RUNTIME.txt protocol, "
                              "tests/read_sql.cpp:1319-1323)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="execute every plan SPMD over the full device "
+                             "mesh (parallel/dist_executor.py) instead of "
+                             "the single-chip engine")
     parser.add_argument("--platform", choices=["cpu", "tpu", "default"],
                         default="default",
                         help="force the JAX backend. NOTE: in this "
@@ -167,6 +186,7 @@ def main(argv=None):
         sqlite_oracle = oracle.SqliteOracle(source.host_tables)
 
     harness = JobHarness(args.plans, source, sql_dir)
+    harness.distributed = args.distributed
 
     profile_ctx = None
     if args.profile:
