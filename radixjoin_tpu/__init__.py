@@ -27,7 +27,7 @@ _jax.config.update("jax_enable_x64", True)
 from .dtypes import DataType, NULL  # noqa: E402
 from .plan.ir import Plan, PlanNode, ScanNode, JoinNode  # noqa: E402
 from .storage.columnar import Column, ColumnarTable  # noqa: E402
-from .engine import build_context, destroy_context, execute  # noqa: E402
+from .engine import build_context, destroy_context, execute, execute_many  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -43,4 +43,5 @@ __all__ = [
     "build_context",
     "destroy_context",
     "execute",
+    "execute_many",
 ]

@@ -363,6 +363,25 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
     program per query over the shared per-column upload memo, exact
     totals + bounded root prefetch in one fetch, overflow retries with
     exact buckets."""
+    from .plan import executor as _exec
+
+    gen = _fused_attempts(plan, context)
+    try:
+        req = next(gen)
+        while True:
+            req = gen.send(_exec.fetch_bundle(req))
+    except StopIteration as stop:
+        return stop.value
+
+
+def _fused_attempts(plan: Plan, context: Optional[Context]):
+    """Generator form of the fused executor: yields lists of device
+    arrays whose fetched numpy values are sent back in, and returns the
+    decoded HostTable (or None when the plan cannot fuse). Separating
+    dispatch from fetch lets :func:`execute_many` overlap the host
+    transfers of many queries — on the tunneled TPU runtime every fetch
+    buffer pays its own ~27 ms round trip, which serial per-query
+    execution cannot hide."""
     import os
 
     from .plan import executor as _exec
@@ -432,7 +451,7 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
                 )
             if k_pad < root_pad:
                 root_arrays = _exec._slice_cols(root_arrays, k_pad)
-        fetched = _exec.fetch_bundle([totals_dev] + list(root_arrays))
+        fetched = yield [totals_dev] + list(root_arrays)
         totals, pre = fetched[0], fetched[1:]
 
         # exactness: a join's total is trustworthy iff no descendant
@@ -499,7 +518,7 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
             sliced = _exec._slice_cols(
                 tuple(out_values_dev) + tuple(out_valid_dev), fetch_pad
             )
-            fetched2 = _exec.fetch_bundle(list(sliced))
+            fetched2 = yield list(sliced)
             out_values, out_valid = fetched2[:k], fetched2[k:]
 
         sources = structure.col_sources[plan.root]
@@ -696,6 +715,12 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     if host is None:
         dev = execute_device(plan, context)
         host = device_table_to_host(dev)
+    return _encode_result(host)
+
+
+def _encode_result(host: HostTable) -> ColumnarTable:
+    """HostTable -> paged ColumnarTable (the reference's final
+    to_columnar step, src/execute.cpp:322-323)."""
     cols = []
     for c in host.columns:
         if c.dtype is DataType.VARCHAR:
@@ -704,3 +729,85 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
             pages = page_codec.encode_fixed(c.values, c.valid, c.dtype)
         cols.append(Column(c.dtype, pages))
     return ColumnarTable(host.num_rows, cols)
+
+
+def execute_many(
+    plans: List[Plan], context: Optional[Context] = None
+) -> List[ColumnarTable]:
+    """Throughput mode: evaluate a batch of plans with overlapped
+    dispatch and host transfers.
+
+    ``execute`` is latency-shaped (the reference's per-query contract,
+    src/execute.cpp:316-324): each call dispatches, then blocks on its
+    own result fetch — on the tunneled TPU runtime that is one ~27 ms
+    round trip per query that nothing else can hide. This batch form
+    runs the same fused programs but phases the work across queries:
+    every plan's XLA program is dispatched first (async), then every
+    plan's packed result buffer starts its device->host copy
+    (``copy_to_host_async``), and only then are the buffers consumed in
+    order — so device compute and all transfers overlap instead of
+    serializing. Plans the fused compiler declines (or that exceed the
+    HBM budget) fall back to :func:`execute` inline. Results are
+    identical to per-plan ``execute`` calls, in input order.
+    """
+    import os
+
+    from .plan import executor as _exec
+
+    results: List[Optional[ColumnarTable]] = [None] * len(plans)
+    live: dict = {}  # idx -> (generator, (buf_dev, spec))
+
+    def start(idx: int, gen):
+        """Advance a fresh generator to its first fetch request (packing
+        the requested arrays) or finish it immediately."""
+        try:
+            req = next(gen)
+        except StopIteration as stop:
+            _finish(idx, stop.value)
+            return
+        live[idx] = (gen, _exec.pack_bundle(req))
+
+    def _finish(idx: int, host):
+        live.pop(idx, None)
+        if host is None:  # fused compiler declined: single-plan fallback
+            results[idx] = execute(plans[idx], context)
+        else:
+            results[idx] = _encode_result(host)
+
+    if os.environ.get("RJT_EXEC_MODE", "auto") not in ("auto", "fused"):
+        return [execute(p, context) for p in plans]
+
+    env_budget = os.environ.get("RJT_HBM_BUDGET_BYTES")
+    if env_budget:
+        budget = int(env_budget)
+    else:
+        from . import hardware
+
+        budget = hardware.detect().hbm_bytes // 2
+
+    for idx, plan in enumerate(plans):
+        plan.validate()
+        if _estimate_device_bytes(plan) > budget:
+            results[idx] = execute(plan, context)  # spill path, host-staged
+            continue
+        start(idx, _fused_attempts(plan, context))
+
+    while live:
+        # hint the runtime to begin every pending device->host copy
+        for gen, (buf, spec) in live.values():
+            if buf is not None and hasattr(buf, "copy_to_host_async"):
+                buf.copy_to_host_async()
+        # consume in index order; overflow retries re-enter `live` and
+        # are drained on the next round (rare: cold runs only)
+        for idx in sorted(live):
+            gen, (buf, spec) = live.pop(idx)
+            fetched = (
+                [] if buf is None else _exec.unpack_bundle(np.asarray(buf), spec)
+            )
+            try:
+                req = gen.send(fetched)
+            except StopIteration as stop:
+                _finish(idx, stop.value)
+                continue
+            live[idx] = (gen, _exec.pack_bundle(req))
+    return results

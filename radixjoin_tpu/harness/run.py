@@ -147,6 +147,11 @@ def main(argv=None):
                              "when every verified query is correct (the "
                              "reference's BENCHMARK_RUNTIME.txt protocol, "
                              "tests/read_sql.cpp:1319-1323)")
+    parser.add_argument("--batch", action="store_true",
+                        help="throughput mode: run the selected queries "
+                             "as one execute_many() batch (overlapped "
+                             "dispatch + host transfers) and report the "
+                             "batch wall-clock instead of per-query times")
     parser.add_argument("--distributed", action="store_true",
                         help="execute every plan SPMD over the full device "
                              "mesh (parallel/dist_executor.py) instead of "
@@ -198,7 +203,37 @@ def main(argv=None):
     total_ms = 0.0
     all_ok = True
     try:
-        for name in names:
+        if args.batch:
+            from radixjoin_tpu import execute_many
+
+            built = [harness.build_plan(name) for name in names]
+            plans = [p for _, p in built]
+            best = None
+            for _ in range(max(1, args.repeat)):
+                t0 = time.perf_counter()
+                results = execute_many(plans, harness.context)
+                dt = (time.perf_counter() - t0) * 1e3
+                best = dt if best is None else min(best, dt)
+            total_ms = best
+            for name, (parsed, plan), result in zip(names, built, results):
+                status = ""
+                if args.verify:
+                    actual = result.to_host().to_rows()
+                    correct, detail = oracle.rows_equal(
+                        actual, oracle.execute_plan_rows(plan)
+                    )
+                    if correct and sqlite_oracle is not None:
+                        correct, detail = oracle.rows_equal(
+                            actual, sqlite_oracle.query(parsed.executed_sql())
+                        )
+                    status = f"  Result correct: {bool(correct)}"
+                    if not correct:
+                        all_ok = False
+                        status += f"  ({detail})"
+                print(f"Query {name:>4}: rows={result.num_rows}{status}")
+            print(f"Batch wall-clock: {total_ms:.2f} ms "
+                  f"over {len(names)} queries")
+        for name in ([] if args.batch else names):
             best = None
             for _ in range(max(1, args.repeat)):
                 result, runtime_ms, correct, detail = harness.run_query(

@@ -423,35 +423,58 @@ def _pack_u8(arrays):
     return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint8)
 
 
-def fetch_bundle(arrays):
-    """device_get a list of arrays (mixed dtypes, incl. bool/scalars) in a
-    single transfer; returns numpy arrays in order."""
+def pack_bundle(arrays):
+    """Device-side pack of a mixed-dtype array list into one u8 buffer.
+
+    Returns ``(buf_dev, spec)``; ``buf_dev`` is a single device array (so
+    the host transfer is one buffer = one tunnel round trip) and ``spec``
+    is what :func:`unpack_bundle` needs to restore the originals. Returns
+    ``(None, spec)`` for an empty list."""
     arrays = list(arrays)
     if not arrays:
-        return []
+        return None, (tuple(), tuple())
     # pack wide dtypes first so every view offset stays aligned
-    order = sorted(
+    order = tuple(sorted(
         range(len(arrays)),
         key=lambda i: -np.dtype(
             np.uint8 if arrays[i].dtype == jnp.bool_ else arrays[i].dtype
         ).itemsize,
+    ))
+    buf = _pack_u8(tuple(arrays[i] for i in order))
+    meta = tuple(
+        (a.ndim, tuple(a.shape), np.dtype(np.uint8) if a.dtype == jnp.bool_
+         else np.dtype(a.dtype), a.dtype == jnp.bool_)
+        for a in arrays
     )
-    buf = np.asarray(_pack_u8(tuple(arrays[i] for i in order)))
-    out = [None] * len(arrays)
+    return buf, (order, meta)
+
+
+def unpack_bundle(buf: np.ndarray, spec):
+    """Host-side inverse of :func:`pack_bundle` (buf already fetched)."""
+    order, meta = spec
+    out = [None] * len(meta)
     off = 0
     for i in order:
-        a = arrays[i]
-        shape = (1,) if a.ndim == 0 else a.shape
-        if a.dtype == jnp.bool_:
+        ndim, shape, dt, is_bool = meta[i]
+        shape = (1,) if ndim == 0 else shape
+        if is_bool:
             n = int(np.prod(shape))
             v = buf[off:off + n].astype(bool).reshape(shape)
         else:
-            dt = np.dtype(a.dtype)
             n = int(np.prod(shape)) * dt.itemsize
             v = buf[off:off + n].view(dt).reshape(shape)
         off += n
-        out[i] = v[0] if a.ndim == 0 else v
+        out[i] = v[0] if ndim == 0 else v
     return out
+
+
+def fetch_bundle(arrays):
+    """device_get a list of arrays (mixed dtypes, incl. bool/scalars) in a
+    single transfer; returns numpy arrays in order."""
+    buf, spec = pack_bundle(arrays)
+    if buf is None:
+        return []
+    return unpack_bundle(np.asarray(buf), spec)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

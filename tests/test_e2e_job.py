@@ -86,3 +86,21 @@ def test_job_query_from_csv_ingest(setup, tmp_path):
             assert correct, f"{name} via CSV ingest: {detail}"
     finally:
         csv_harness.close()
+
+
+def test_execute_many_matches_serial(setup):
+    """Batch (throughput) execution must be result-identical to per-plan
+    execute(), including plans the fused compiler declines (VARCHAR join
+    keys fall back inline) and cold-run overflow retries."""
+    from radixjoin_tpu import execute, execute_many
+
+    harness, _ = setup
+    names = ["1a", "3b", "8d", "16b", "29a", "32a"]
+    plans = [harness.build_plan(n)[1] for n in names]
+    serial = [execute(p, harness.context) for p in plans]
+    batch = execute_many(plans, harness.context)
+    for name, a, b in zip(names, serial, batch):
+        ok, msg = oracle.rows_equal(
+            a.to_host().to_rows(), b.to_host().to_rows()
+        )
+        assert ok, f"{name}: {msg}"

@@ -185,3 +185,21 @@ def test_fuzz_distributed(seed):
     actual = _mask_nan(execute_distributed(plan).to_rows())
     ok, msg = rows_equal(actual, expected)
     assert ok, f"seed {seed} distributed: {msg}"
+
+
+def test_fuzz_execute_many_batch():
+    # One batch of generated plans through the throughput API: mixed
+    # dtypes and sizes, some falling back (VARCHAR keys / tiny inputs),
+    # all compared to the oracle in one execute_many call.
+    from radixjoin_tpu import execute_many
+
+    plans = [gen_plan(np.random.default_rng(5000 + s)) for s in range(6)]
+    expected = [_mask_nan(execute_plan_rows(p)) for p in plans]
+    ctx = build_context()
+    try:
+        results = execute_many(plans, ctx)
+    finally:
+        destroy_context(ctx)
+    for s, (exp, res) in enumerate(zip(expected, results)):
+        ok, msg = rows_equal(_mask_nan(res.to_host().to_rows()), exp)
+        assert ok, f"batch plan {s}: {msg}"
