@@ -797,13 +797,27 @@ def execute_many(
         for gen, (buf, spec) in live.values():
             if buf is not None and hasattr(buf, "copy_to_host_async"):
                 buf.copy_to_host_async()
+        # materialize all pending buffers concurrently: on the tunneled
+        # runtime each device_get pays its own round trip, and the RPCs
+        # parallelize across Python threads (measured ~linear)
+        order = sorted(live)
+        bufs = [live[i][1][0] for i in order]
+        if len(bufs) > 1:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(min(16, len(bufs))) as pool:
+                host_bufs = list(pool.map(
+                    lambda b: None if b is None else np.asarray(b), bufs
+                ))
+        else:
+            host_bufs = [None if b is None else np.asarray(b) for b in bufs]
+        fetched_np = dict(zip(order, host_bufs))
         # consume in index order; overflow retries re-enter `live` and
         # are drained on the next round (rare: cold runs only)
-        for idx in sorted(live):
+        for idx in order:
             gen, (buf, spec) = live.pop(idx)
-            fetched = (
-                [] if buf is None else _exec.unpack_bundle(np.asarray(buf), spec)
-            )
+            hb = fetched_np[idx]
+            fetched = [] if hb is None else _exec.unpack_bundle(hb, spec)
             try:
                 req = gen.send(fetched)
             except StopIteration as stop:
