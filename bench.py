@@ -50,6 +50,8 @@ def _emit(total_ms, scale, n_queries, partial=False):
             _partial["per_query"].items(), key=lambda kv: -kv[1]
         )[:5],
     }
+    if "batch_wall_ms" in _partial:
+        detail["batch_wall_ms"] = _partial["batch_wall_ms"]
     if partial:
         detail["partial"] = f"watchdog fired during {_partial['stage']}"
     print(json.dumps({
@@ -162,6 +164,23 @@ def main():
             if it == 0 and warm_threads <= 0:
                 _partial["result_rows"] += result.num_rows
         log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s")
+
+    # Bonus record: the same suite as ONE execute_many() batch
+    # (overlapped dispatch + host transfers). Reported in `detail` only —
+    # the headline metric stays the reference's serial per-query
+    # protocol (read_sql.cpp:1234-1236).
+    if os.environ.get("BENCH_BATCH", "on") != "off":
+        from radixjoin_tpu.engine import execute_many
+
+        _partial["stage"] = "batch"
+        batch_best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            execute_many([plans[n] for n in names], harness.context)
+            dt = (time.perf_counter() - t0) * 1e3
+            batch_best = dt if batch_best is None else min(batch_best, dt)
+        _partial["batch_wall_ms"] = round(batch_best, 2)
+        log(f"bench: batch wall-clock {batch_best:.1f} ms")
 
     _partial["stage"] = "done"
     from radixjoin_tpu.plan import executor as _ex
