@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from .dtypes import DataType
 from .ops import join as join_ops
+from .ops import keynorm
 from .plan.ir import JoinNode, Plan, ScanNode
 from .storage import native
 from .storage.columnar import (
@@ -54,9 +55,6 @@ from .storage.columnar import (
 )
 from .storage import page as page_codec
 
-_F64_SIGN = np.int64(np.int64(-2) ** 63)  # 0x8000000000000000
-_F64_EXP = np.int64(0x7FF0000000000000)
-_F64_MANT = np.int64(0x000FFFFFFFFFFFFF)
 
 
 @dataclasses.dataclass
@@ -182,23 +180,15 @@ def _canonicalize_f64_key(data: jnp.ndarray, valid: jnp.ndarray):
     the reference's ``slot_key[h] != key`` over doubles does
     (src/execute.cpp:215, :231).
     """
-    is_nan = ((data & _F64_EXP) == _F64_EXP) & ((data & _F64_MANT) != 0)
-    canon = jnp.where(data == _F64_SIGN, jnp.int64(0), data)
-    return canon, valid & ~is_nan
+    return keynorm.canon_f64_bits(data, valid)
 
 
 def _unify_dictionaries(a: DevColumn, b: DevColumn):
     """Map two dictionary-encoded columns onto one joint id space (exact)."""
     da = a.dictionary.objects() if a.dictionary is not None else np.empty(0, object)
     db = b.dictionary.objects() if b.dictionary is not None else np.empty(0, object)
-    combined = np.concatenate([da, db]) if (len(da) or len(db)) else np.empty(0, object)
-    if len(combined):
-        _, inverse = np.unique(combined, return_inverse=True)
-        map_a = jnp.asarray(inverse[: len(da)].astype(np.int32))
-        map_b = jnp.asarray(inverse[len(da) :].astype(np.int32))
-    else:
-        map_a = jnp.zeros(0, jnp.int32)
-        map_b = jnp.zeros(0, jnp.int32)
+    ra, rb, _ = keynorm.joint_id_inverse(da, db)
+    map_a, map_b = jnp.asarray(ra), jnp.asarray(rb)
 
     def remap(col, mapping):
         if mapping.shape[0] == 0:
@@ -563,16 +553,16 @@ def _host_normalize_keys(b: HostColumn, p: HostColumn):
     if b.dtype is DataType.VARCHAR:
         bo = np.where(b.valid, b.objects(), b"")
         po = np.where(p.valid, p.objects(), b"")
-        _, inverse = np.unique(np.concatenate([bo, po]), return_inverse=True)
+        rb_, rp_, _ = keynorm.joint_id_inverse(bo, po)
         return (
-            (inverse[: len(bo)].astype(np.int64), b.valid),
-            (inverse[len(bo):].astype(np.int64), p.valid),
+            (rb_.astype(np.int64), b.valid),
+            (rp_.astype(np.int64), p.valid),
         )
     if b.dtype is DataType.FP64:
         def canon(col):
-            bits = col.values.view(np.int64)
-            canonized = np.where(bits == _F64_SIGN, np.int64(0), bits)
-            return canonized, col.valid & ~np.isnan(col.values)
+            return keynorm.canon_f64_bits(
+                col.values.view(np.int64), col.valid
+            )
         return canon(b), canon(p)
     return (b.values, b.valid), (p.values, p.valid)
 
@@ -665,6 +655,21 @@ def _estimate_device_bytes(plan: Plan) -> int:
     return total
 
 
+def _hbm_budget() -> int:
+    """Device-resident working-set budget in bytes (the spill-path
+    threshold): RJT_HBM_BUDGET_BYTES, or half the detected chip's HBM.
+    Shared by execute() and execute_many() so a plan spills identically
+    in both."""
+    import os
+
+    env_budget = os.environ.get("RJT_HBM_BUDGET_BYTES")
+    if env_budget:
+        return int(env_budget)
+    from . import hardware
+
+    return hardware.detect().hbm_bytes // 2
+
+
 def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     """Evaluate ``plan`` and encode the result as a paged ColumnarTable.
 
@@ -678,14 +683,7 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     import os
 
     plan.validate()
-    env_budget = os.environ.get("RJT_HBM_BUDGET_BYTES")
-    if env_budget:
-        budget = int(env_budget)
-    else:
-        from . import hardware
-
-        budget = hardware.detect().hbm_bytes // 2
-
+    budget = _hbm_budget()
     mode = os.environ.get("RJT_EXEC_MODE", "auto")
     host = None
     if _estimate_device_bytes(plan) > budget:
@@ -767,30 +765,33 @@ def execute_many(
             return
         live[idx] = (gen, _exec.pack_bundle(req))
 
+    fallbacks: List[int] = []
+
     def _finish(idx: int, host):
         live.pop(idx, None)
         if host is None:  # fused compiler declined: single-plan fallback
-            results[idx] = execute(plans[idx], context)
+            fallbacks.append(idx)
         else:
             results[idx] = _encode_result(host)
 
     if os.environ.get("RJT_EXEC_MODE", "auto") not in ("auto", "fused"):
         return [execute(p, context) for p in plans]
 
-    env_budget = os.environ.get("RJT_HBM_BUDGET_BYTES")
-    if env_budget:
-        budget = int(env_budget)
-    else:
-        from . import hardware
-
-        budget = hardware.detect().hbm_bytes // 2
+    budget = _hbm_budget()
 
     for idx, plan in enumerate(plans):
         plan.validate()
         if _estimate_device_bytes(plan) > budget:
-            results[idx] = execute(plan, context)  # spill path, host-staged
+            fallbacks.append(idx)  # spill path, host-staged
             continue
         start(idx, _fused_attempts(plan, context))
+
+    # Serial fallbacks (fused-declined / over-budget plans) run AFTER the
+    # dispatch loop, while the dispatched fused programs compute on the
+    # device — inline they would stall dispatch of every later plan.
+    for idx in fallbacks:
+        results[idx] = execute(plans[idx], context)
+    fallbacks.clear()
 
     while live:
         # hint the runtime to begin every pending device->host copy
@@ -824,4 +825,6 @@ def execute_many(
                 _finish(idx, stop.value)
                 continue
             live[idx] = (gen, _exec.pack_bundle(req))
+    for idx in fallbacks:  # a generator declined after dispatch (rare)
+        results[idx] = execute(plans[idx], context)
     return results

@@ -113,15 +113,23 @@ class JobHarness:
         correct = None
         detail = None
         if verify:
-            actual = result.to_host().to_rows()
-            expected = oracle.execute_plan_rows(plan)
-            correct, detail = oracle.rows_equal(actual, expected)
-            if correct and sqlite_oracle is not None:
-                sql_rows = sqlite_oracle.query(parsed.executed_sql())
-                correct, detail = oracle.rows_equal(actual, sql_rows)
-                if not correct:
-                    detail = f"sqlite oracle mismatch: {detail}"
+            correct, detail = verify_result(parsed, plan, result, sqlite_oracle)
         return result, runtime_ms, correct, detail
+
+
+def verify_result(parsed, plan, result, sqlite_oracle=None):
+    """Dual-oracle check of one query result (row-semantics interpreter,
+    then sqlite on the rewritten SQL). Shared by the per-query and
+    --batch paths so both verify identical semantics."""
+    actual = result.to_host().to_rows()
+    expected = oracle.execute_plan_rows(plan)
+    correct, detail = oracle.rows_equal(actual, expected)
+    if correct and sqlite_oracle is not None:
+        sql_rows = sqlite_oracle.query(parsed.executed_sql())
+        correct, detail = oracle.rows_equal(actual, sql_rows)
+        if not correct:
+            detail = f"sqlite oracle mismatch: {detail}"
+    return correct, detail
 
 
 def main(argv=None):
@@ -166,6 +174,9 @@ def main(argv=None):
                              "before first use actually switches backends, "
                              "which is what this flag does")
     args = parser.parse_args(argv)
+    if args.batch and args.distributed:
+        parser.error("--batch and --distributed are mutually exclusive "
+                     "(the batch path runs the single-chip fused engine)")
     if args.platform == "cpu":
         import jax
 
@@ -218,14 +229,9 @@ def main(argv=None):
             for name, (parsed, plan), result in zip(names, built, results):
                 status = ""
                 if args.verify:
-                    actual = result.to_host().to_rows()
-                    correct, detail = oracle.rows_equal(
-                        actual, oracle.execute_plan_rows(plan)
+                    correct, detail = verify_result(
+                        parsed, plan, result, sqlite_oracle
                     )
-                    if correct and sqlite_oracle is not None:
-                        correct, detail = oracle.rows_equal(
-                            actual, sqlite_oracle.query(parsed.executed_sql())
-                        )
                     status = f"  Result correct: {bool(correct)}"
                     if not correct:
                         all_ok = False

@@ -48,8 +48,7 @@ from .dist_join import (
 )
 from . import multihost
 from .mesh import make_mesh, shard_axis
-
-_F64_SIGN = np.int64(np.int64(-2) ** 63)
+from ..ops import keynorm
 
 
 @dataclasses.dataclass
@@ -64,8 +63,6 @@ class _NodeRes:
     dicts: List[Optional[StringDict]]
 
 
-_F64_EXP = np.int64(0x7FF0000000000000)
-_F64_MANT = np.int64(0x000FFFFFFFFFFFFF)
 _F64_KEY_FN = None
 
 
@@ -77,12 +74,7 @@ def _canon_f64_keys(bits, valid):
     while payload values flow through untouched)."""
     global _F64_KEY_FN
     if _F64_KEY_FN is None:
-
-        def canon(b, v):
-            is_nan = ((b & _F64_EXP) == _F64_EXP) & ((b & _F64_MANT) != 0)
-            return jnp.where(b == _F64_SIGN, jnp.int64(0), b), v & ~is_nan
-
-        _F64_KEY_FN = jax.jit(canon)
+        _F64_KEY_FN = jax.jit(keynorm.canon_f64_bits)
     return _F64_KEY_FN(bits, valid)
 
 
@@ -155,12 +147,12 @@ def _unify_varchar_keys(kb, kp, db, dp, mesh):
         # one side has no string values at all: no id can match; rows on
         # that side are already invalid, so the raw ids are fine
         return kb, kp
-    _, inverse = np.unique(np.concatenate([ob, op]), return_inverse=True)
+    rb, rp, _ = keynorm.joint_id_inverse(ob, op)
     rep = multihost.put_sharded  # replicated upload below
     from .mesh import replicated
 
-    lut_b = rep(inverse[: len(ob)].astype(np.int64), replicated(mesh))
-    lut_p = rep(inverse[len(ob):].astype(np.int64), replicated(mesh))
+    lut_b = rep(rb.astype(np.int64), replicated(mesh))
+    lut_p = rep(rp.astype(np.int64), replicated(mesh))
 
     global _REMAP_FN
     if _REMAP_FN is None:

@@ -59,6 +59,7 @@ import jax.numpy as jnp
 
 from ..dtypes import DataType
 from ..ops import join as join_ops
+from ..ops import keynorm
 from .ir import JoinNode, Plan, ScanNode
 from . import executor as _ex
 
@@ -292,11 +293,6 @@ class FusedPlan:
         return self._cache_key
 
 
-_F64_SIGN = np.int64(np.int64(-2) ** 63)
-_F64_EXP = np.int64(0x7FF0000000000000)
-_F64_MANT = np.int64(0x000FFFFFFFFFFFFF)
-
-
 # Unified-dictionary remap memo for VARCHAR join keys. Keyed by object
 # identity of the two StringDicts — safe because dictionaries live for
 # the process lifetime in the per-column upload memo, and pinned here
@@ -311,17 +307,7 @@ def _unified_remap(da, db):
     key = (id(da), id(db))
     hit = _REMAP_MEMO.get(key)
     if hit is None:
-        oa, ob = da.objects(), db.objects()
-        if len(oa) or len(ob):
-            combined = np.concatenate([oa, ob])
-            uniq, inverse = np.unique(combined, return_inverse=True)
-            ra = inverse[: len(oa)].astype(np.int32)
-            rb = inverse[len(oa):].astype(np.int32)
-            size = len(uniq)
-        else:
-            ra = np.zeros(0, np.int32)
-            rb = np.zeros(0, np.int32)
-            size = 0
+        ra, rb, size = keynorm.joint_id_inverse(da.objects(), db.objects())
         hit = (jax.device_put(ra), jax.device_put(rb), size)
         _REMAP_MEMO[key] = hit
         _REMAP_PIN.extend((da, db))
@@ -339,9 +325,7 @@ def _remap_ids(ids, mapping):
 def _normalize_key(data, valid, dt: DataType):
     # FP64 keys arrive bitcast to i64 at upload; canonicalize -0.0 and NaN
     if dt is DataType.FP64:
-        is_nan = ((data & _F64_EXP) == _F64_EXP) & ((data & _F64_MANT) != 0)
-        data = jnp.where(data == _F64_SIGN, jnp.int64(0), data)
-        valid = valid & ~is_nan
+        data, valid = keynorm.canon_f64_bits(data, valid)
     return data, valid
 
 

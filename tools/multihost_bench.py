@@ -52,10 +52,33 @@ def run_cluster(nprocs: int, local_devices: int, rows: int, repeats: int):
             )
             for p in range(nprocs)
         ]
-        logs = [p.communicate(timeout=1800)[0] for p in procs]
-        for p, log in zip(procs, logs):
+        # Poll all ranks: if any rank dies (e.g. an init error before it
+        # joins the cluster) the survivors hang in collectives forever —
+        # kill the whole group and surface the FAILED rank's log, not a
+        # 30-minute TimeoutExpired with no diagnostics.
+        import time as _time
+
+        deadline = _time.monotonic() + 1800
+        while any(p.poll() is None for p in procs):
+            if any(p.poll() not in (None, 0) for p in procs):
+                break
+            if _time.monotonic() > deadline:
+                for p in procs:
+                    p.kill()
+                raise RuntimeError("multihost bench timed out (30 min)")
+            _time.sleep(0.5)
+        failed = [p for p in procs if p.poll() not in (None, 0)]
+        if failed:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        logs = [p.communicate()[0] for p in procs]
+        for rank, (p, log) in enumerate(zip(procs, logs)):
             if p.returncode != 0:
-                raise RuntimeError(f"worker failed:\n{log[-3000:]}")
+                raise RuntimeError(
+                    f"worker rank {rank} failed "
+                    f"(exit {p.returncode}):\n{log[-3000:]}"
+                )
         with open(outs[0]) as f:
             return json.load(f)
 
