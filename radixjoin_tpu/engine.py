@@ -93,7 +93,141 @@ def build_context() -> Context:
 
 
 def destroy_context(context: Optional[Context]) -> None:
+    _feedback_store().save()
     return None
+
+
+class _FeedbackStore:
+    """Cross-process persistence of cardinality feedback.
+
+    Learned per-join exact buckets and root row counts (the state the
+    fused executor re-specializes programs with on repeat executions)
+    keyed by a content hash of the plan *and its input row counts* — a
+    fresh process skips the overflow-retry/default-bucket pass entirely
+    and compiles only the learned-shape programs (which the persistent
+    XLA compile cache already holds). Stored as one JSON next to the
+    compile cache; stale entries are harmless (an undersized learned pad
+    just falls back to the normal overflow retry). RJT_FEEDBACK_PERSIST=off
+    disables; no jax compilation cache dir configured also disables.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._data = None  # lazily loaded {key: [buckets, root_rows]}
+        self._dirty = False
+
+    def _path(self):
+        import os
+
+        if os.environ.get("RJT_FEEDBACK_PERSIST", "on") == "off":
+            return None
+        p = os.environ.get("RJT_FEEDBACK_PATH")
+        if p:
+            return p
+        cache_dir = jax.config.jax_compilation_cache_dir
+        if not cache_dir:
+            return None
+        return os.path.join(cache_dir, "rjt_feedback.json")
+
+    def _load(self):
+        import json
+        import os
+
+        if self._data is not None:
+            return self._data
+        path = self._path()
+        self._data = {}
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    self._data = json.load(f)
+            except (OSError, ValueError):
+                pass
+        return self._data
+
+    @staticmethod
+    def _key(plan: Plan) -> str:
+        key = getattr(plan, "_feedback_key", None)
+        if key is None:
+            import hashlib
+
+            desc = []
+            for node in plan.nodes:
+                attrs = tuple((c, int(dt)) for c, dt in node.output_attrs)
+                if isinstance(node.data, ScanNode):
+                    desc.append(("s", node.data.base_table_id, attrs))
+                else:
+                    j = node.data
+                    desc.append((
+                        "j", j.build_left, j.left, j.right,
+                        j.left_attr, j.right_attr, attrs,
+                    ))
+            rows = tuple(t.num_rows for t in plan.inputs)
+            blob = repr((desc, rows, plan.root)).encode()
+            key = hashlib.sha1(blob).hexdigest()
+            plan._feedback_key = key
+        return key
+
+    def load_into(self, plan: Plan) -> None:
+        if self._path() is None:
+            return
+        with self._lock:
+            hit = self._load().get(self._key(plan))
+        if hit:
+            buckets, root = hit
+            plan._learned_buckets = {
+                int(i): (int(pad), bool(comp))
+                for i, (pad, comp) in buckets.items()
+            }
+            if root is not None:
+                plan._learned_root_rows = int(root)
+
+    def put(self, plan: Plan) -> None:
+        if self._path() is None:
+            return
+        buckets = {
+            str(i): [int(pad), bool(comp)]
+            for i, (pad, comp) in plan._learned_buckets.items()
+        }
+        entry = [buckets, getattr(plan, "_learned_root_rows", None)]
+        with self._lock:
+            data = self._load()
+            if data.get(self._key(plan)) != entry:
+                data[self._key(plan)] = entry
+                self._dirty = True
+
+    def save(self) -> None:
+        import json
+        import os
+
+        path = self._path()
+        with self._lock:
+            if not (path and self._dirty and self._data is not None):
+                return
+            tmp = f"{path}.tmp.{os.getpid()}"
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                with open(tmp, "w") as f:
+                    json.dump(self._data, f)
+                os.replace(tmp, path)
+                self._dirty = False
+            except OSError:
+                pass
+
+
+_FEEDBACK: Optional[_FeedbackStore] = None
+
+
+def _feedback_store() -> _FeedbackStore:
+    global _FEEDBACK
+    if _FEEDBACK is None:
+        _FEEDBACK = _FeedbackStore()
+        import atexit
+
+        atexit.register(_FEEDBACK.save)
+    return _FEEDBACK
 
 
 # ---------------------------------------------------------------------------
@@ -385,6 +519,8 @@ def _fused_attempts(plan: Plan, context: Optional[Context]):
         os.environ.get("RJT_PREFETCH_FULL_BYTES", str(256 << 10))
     )
     feedback_on = os.environ.get("RJT_CARD_FEEDBACK", "on") != "off"
+    if feedback_on and not hasattr(plan, "_learned_buckets"):
+        _feedback_store().load_into(plan)  # cross-process persistence
     learned = getattr(plan, "_learned_buckets", None) if feedback_on else None
     if learned:
         for i, (pad, was_compacted) in learned.items():
@@ -499,6 +635,7 @@ def _fused_attempts(plan: Plan, context: Optional[Context]):
                 )
                 for ji, node_id in enumerate(join_order)
             }
+            _feedback_store().put(plan)
 
         k = len(out_values_dev)
         if root_total <= k_pad:
