@@ -194,6 +194,10 @@ def main():
     from radixjoin_tpu.plan import fused as _fz
 
     log(f"bench: join paths wave={_ex.path_stats()} fused={_fz.path_stats()}")
+    for name, _ in sorted(per_query.items(), key=lambda kv: -kv[1])[:3]:
+        st = getattr(plans[name], "_last_exec_stats", None)
+        if st:
+            log(f"bench: {name} stage breakdown {st}")
     _emit(sum(per_query.values()), scale, len(names))
 
 

@@ -487,14 +487,30 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
     program per query over the shared per-column upload memo, exact
     totals + bounded root prefetch in one fetch, overflow retries with
     exact buckets."""
+    import time
+
     from .plan import executor as _exec
 
     gen = _fused_attempts(plan, context)
+    stats = {"dispatch_ms": 0.0, "fetch_ms": 0.0, "rounds": 0}
+    t0 = time.perf_counter()
     try:
         req = next(gen)
         while True:
-            req = gen.send(_exec.fetch_bundle(req))
+            t1 = time.perf_counter()
+            stats["dispatch_ms"] += (t1 - t0) * 1e3
+            fetched = _exec.fetch_bundle(req)
+            t0 = time.perf_counter()
+            stats["fetch_ms"] += (t0 - t1) * 1e3
+            stats["rounds"] += 1
+            req = gen.send(fetched)
     except StopIteration as stop:
+        stats["decode_ms"] = (time.perf_counter() - t0) * 1e3
+        # per-query stage breakdown, readable by harnesses after execute()
+        # (diagnoses tunnel-stall vs compute time without a profiler run)
+        plan._last_exec_stats = stats
+        if context is not None:
+            context.last_exec_stats = stats
         return stop.value
 
 
