@@ -26,6 +26,7 @@ import numpy as np
 
 from ..dtypes import NULL, DataType, PAGE_SIZE, is_null
 from . import host_pool
+from . import native as _native
 from . import page as page_codec
 
 
@@ -36,6 +37,9 @@ def gather_varlen(heap: np.ndarray, starts: np.ndarray, lengths: np.ndarray):
     new_ends = np.cumsum(lengths)
     if total == 0:
         return np.zeros(0, dtype=np.uint8), new_ends
+    native_out = _native.gather_varlen(heap, starts, lengths, new_ends, total)
+    if native_out is not None:
+        return native_out, new_ends
     out_starts = new_ends - lengths
     nz = lengths > 0
     src = (

@@ -83,6 +83,10 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.rjt_encode_varchar.argtypes = [
         _u8p, _i64p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
     ]
+    lib.rjt_gather_varlen.restype = None
+    lib.rjt_gather_varlen.argtypes = [
+        _u8p, _i64p, _i64p, ctypes.c_int64, _i64p, _u8p,
+    ]
     lib.rjt_like.restype = None
     lib.rjt_like.argtypes = [
         _u8p, _i64p, _u8p, ctypes.c_int64, _u8p, ctypes.c_int64,
@@ -193,6 +197,24 @@ def decode_varchar(pages: np.ndarray, num_rows: int):
         raise ValueError("native decode_varchar fill mismatch")
     ends = np.cumsum(lengths)
     return heap, ends, valid.view(bool)
+
+
+def gather_varlen(heap, starts, lengths, new_ends, total: int):
+    """Concatenating substring gather (see columnar.gather_varlen).
+    Returns the new heap, or None when the native lib is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    heap = np.ascontiguousarray(heap, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    new_ends = np.ascontiguousarray(new_ends, dtype=np.int64)
+    out = np.empty(total, dtype=np.uint8)
+    L.rjt_gather_varlen(
+        _ptr(heap, _u8p), _ptr(starts, _i64p), _ptr(lengths, _i64p),
+        ctypes.c_int64(len(lengths)), _ptr(new_ends, _i64p), _ptr(out, _u8p),
+    )
+    return out
 
 
 def encode_varchar(heap: np.ndarray, ends: np.ndarray, valid: np.ndarray):

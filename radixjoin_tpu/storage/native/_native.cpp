@@ -257,6 +257,19 @@ int64_t rjt_count_pages_varchar(const uint8_t* /*heap*/, const int64_t* ends,
     return pages;
 }
 
+// Variable-length gather: concatenate heap[starts[i] .. starts[i]+lengths[i])
+// for every row into `out` (row i lands at out_ends[i] - lengths[i]).
+// `out_ends` is the precomputed inclusive cumulative sum of lengths.
+void rjt_gather_varlen(const uint8_t* heap, const int64_t* starts,
+                       const int64_t* lengths, int64_t n,
+                       const int64_t* out_ends, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t len = lengths[i];
+        if (len > 0) memcpy(out + out_ends[i] - len, heap + starts[i],
+                            static_cast<size_t>(len));
+    }
+}
+
 int64_t rjt_encode_varchar(const uint8_t* heap, const int64_t* ends,
                            const uint8_t* valid, int64_t n, uint8_t* out_pages,
                            int64_t max_pages) {

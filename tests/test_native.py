@@ -202,3 +202,31 @@ def test_csv_roundtrip_via_write(tmp_path):
         (NULL, b"back\\slash"),
         (5, NULL),
     ]
+
+
+def test_gather_varlen_native_matches_numpy():
+    from radixjoin_tpu.storage import native as native_mod
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    lengths_src = rng.integers(0, 40, n).astype(np.int64)
+    heap_len = int(lengths_src.sum()) + 64
+    heap = rng.integers(0, 256, heap_len).astype(np.uint8)
+    starts = np.zeros(n, np.int64)
+    pos = 0
+    for i in range(n):
+        starts[i] = pos
+        pos += lengths_src[i]
+    sel = rng.permutation(n)[: n // 2]
+    s, ln = starts[sel], lengths_src[sel]
+    new_ends = np.cumsum(ln)
+    total = int(ln.sum())
+    native_out = native_mod.gather_varlen(heap, s, ln, new_ends, total)
+    assert native_out is not None  # toolchain is present in CI
+    out_starts = new_ends - ln
+    nz = ln > 0
+    src = (
+        np.repeat(s[nz] - out_starts[nz], ln[nz])
+        + np.arange(total, dtype=np.int64)
+    )
+    np.testing.assert_array_equal(native_out, heap[src])
