@@ -33,7 +33,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def run_cluster(nprocs: int, local_devices: int, rows: int, repeats: int):
+def run_cluster(nprocs: int, local_devices: int, rows: int, repeats: int,
+                scenario: str = "bench_join", extra_args=(),
+                timeout_s: float = 1800):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -45,8 +47,9 @@ def run_cluster(nprocs: int, local_devices: int, rows: int, repeats: int):
                 [sys.executable, WORKER, "--pid", str(p),
                  "--nprocs", str(nprocs), "--port", str(port),
                  "--local-devices", str(local_devices),
-                 "--out", outs[p], "--scenario", "bench_join",
-                 "--bench-rows", str(rows), "--repeats", str(repeats)],
+                 "--out", outs[p], "--scenario", scenario,
+                 "--bench-rows", str(rows), "--repeats", str(repeats),
+                 *extra_args],
                 env=env, stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT, text=True,
             )
@@ -58,14 +61,15 @@ def run_cluster(nprocs: int, local_devices: int, rows: int, repeats: int):
         # 30-minute TimeoutExpired with no diagnostics.
         import time as _time
 
-        deadline = _time.monotonic() + 1800
+        deadline = _time.monotonic() + timeout_s
         while any(p.poll() is None for p in procs):
             if any(p.poll() not in (None, 0) for p in procs):
                 break
             if _time.monotonic() > deadline:
                 for p in procs:
                     p.kill()
-                raise RuntimeError("multihost bench timed out (30 min)")
+                raise RuntimeError(
+                    f"multihost bench timed out ({timeout_s:.0f} s)")
             _time.sleep(0.5)
         failed = [p for p in procs if p.poll() not in (None, 0)]
         if failed:
@@ -89,7 +93,30 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(
         REPO, "benchmarks", "multihost_cluster.json"))
+    ap.add_argument("--job", action="store_true",
+                    help="run real JOB queries at --scale through the "
+                         "2-process cluster instead of the synthetic join "
+                         "(BASELINE.json config 5: multi-host shuffle join "
+                         "on 10x-scaled IMDB)")
+    ap.add_argument("--scale", type=float, default=0.1)
+    ap.add_argument("--queries", default="1a,6a,8d,9d,16b,6f")
     args = ap.parse_args()
+
+    if args.job:
+        extra = ["--scale", str(args.scale), "--job-queries", args.queries]
+        rec = run_cluster(2, 4, 0, args.repeats, scenario="job",
+                          extra_args=extra, timeout_s=7200)
+        out = os.path.join(REPO, "benchmarks", "multihost_job_10x.json")
+        rec["description"] = (
+            "JOB queries executed SPMD over a 2-process x 4-device CPU "
+            "mesh (gloo cross-process collectives) on synthetic IMDB at "
+            f"scale {args.scale}; rank-0 results verified vs the sqlite "
+            "oracle"
+        )
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=2)
+        print(f"job cluster record -> {out}", flush=True)
+        return
 
     single = run_cluster(1, 8, args.rows, args.repeats)
     print(f"1 proc x 8 dev: {single['best_ms']} ms "

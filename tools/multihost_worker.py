@@ -30,10 +30,17 @@ def main():
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
     ap.add_argument("--scenario", default="two_join",
-                    choices=["two_join", "bench_join"])
+                    choices=["two_join", "bench_join", "job"])
     ap.add_argument("--bench-rows", type=int, default=1 << 20,
                     help="global probe rows for --scenario bench_join")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--plans", default="/root/reference/plans.json",
+                    help="plans.json for --scenario job")
+    ap.add_argument("--sql-dir", default="/root/reference/job")
+    ap.add_argument("--scale", type=float, default=0.1,
+                    help="synthetic IMDB scale for --scenario job")
+    ap.add_argument("--job-queries", default="1a,6a,8d,9d,16b,6f",
+                    help="comma-separated JOB query names for --scenario job")
     args = ap.parse_args()
 
     # Platform must be pinned before any backend initializes (the dev
@@ -60,6 +67,9 @@ def main():
 
     if args.scenario == "bench_join":
         _bench_join(args)
+        return
+    if args.scenario == "job":
+        _job_suite(args)
         return
 
     from radixjoin_tpu.dtypes import DataType
@@ -145,6 +155,85 @@ def main():
     with open(args.out, "w") as f:
         f.write(f"OK {len(actual)}\n")
     print(f"[rank {args.pid}] OK rows={len(actual)}", flush=True)
+
+
+def _job_suite(args):
+    """Real JOB queries at scale, SPMD across the process cluster.
+
+    The BASELINE.json config-5 scenario: multi-host execution of
+    hash-partitioned shuffle joins on 10x-scaled IMDB (synthetic,
+    identical on every rank per the replicated-input contract of
+    parallel/multihost.py — the reference has no distributed mode at
+    all, SURVEY.md §2 checklist). Every rank executes the full plan
+    over the global mesh; rank 0 additionally verifies each query's
+    gathered rows against the sqlite oracle on the rewritten SQL and
+    writes the timing record."""
+    import json
+    import time
+
+    from radixjoin_tpu.harness import datagen, oracle
+    from radixjoin_tpu.harness.run import JobHarness, TableSource
+
+    with open(args.plans) as f:
+        doc = json.load(f)
+    names = [q for q in args.job_queries.split(",") if q]
+    queries = datagen.load_job_queries(args.sql_dir, doc["names"])
+    gen = datagen.SyntheticIMDB(scale=args.scale, seed=0, queries=queries)
+    print(f"[rank {args.pid}] generating synthetic IMDB "
+          f"scale {args.scale} ...", flush=True)
+    source = TableSource(host_tables=gen.generate())
+    harness = JobHarness(args.plans, source, args.sql_dir)
+    harness.distributed = True
+
+    sqlite_oracle = None
+    if args.pid == 0:
+        print("[rank 0] loading sqlite oracle ...", flush=True)
+        sqlite_oracle = oracle.SqliteOracle(source.host_tables)
+
+    per_query = {}
+    all_ok = True
+    for name in names:
+        times = []
+        result = None
+        for _ in range(max(1, args.repeats) + 1):  # first rep = compile
+            t0 = time.perf_counter()
+            result, runtime_ms, _, _ = harness.run_query(name)
+            times.append(round((time.perf_counter() - t0) * 1e3, 2))
+        correct = None
+        if sqlite_oracle is not None:
+            parsed, plan = harness.build_plan(name)
+            actual = result.to_host().to_rows()
+            sql_rows = sqlite_oracle.query(parsed.executed_sql())
+            correct, detail = oracle.rows_equal(actual, sql_rows)
+            if not correct:
+                all_ok = False
+                print(f"[rank 0] {name} MISMATCH: {detail}", flush=True)
+        per_query[name] = {
+            "best_ms": min(times[1:]),
+            "times_ms": times,
+            "rows": result.num_rows,
+            "correct": correct,
+        }
+        print(f"[rank {args.pid}] {name}: best {min(times[1:])} ms "
+              f"rows={result.num_rows} correct={correct}", flush=True)
+
+    import jax
+
+    record = {
+        "scenario": "job",
+        "scale": args.scale,
+        "processes": jax.process_count(),
+        "global_devices": jax.device_count(),
+        "queries": per_query,
+        "total_best_ms": round(sum(q["best_ms"] for q in per_query.values()), 2),
+        "all_correct": all_ok if args.pid == 0 else None,
+    }
+    with open(args.out, "w") as f:
+        json.dump(record, f)
+    print(f"[rank {args.pid}] job suite done: {record['total_best_ms']} ms",
+          flush=True)
+    if args.pid == 0 and not all_ok:
+        sys.exit(1)
 
 
 def _bench_join(args):
