@@ -37,7 +37,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-_partial = {"per_query": {}, "stage": "init", "result_rows": 0}
+_partial = {"per_query": {}, "stage": "init", "result_rows": 0,
+            "backend": "unknown"}
 
 
 def _emit(total_ms, scale, n_queries, partial=False):
@@ -46,6 +47,7 @@ def _emit(total_ms, scale, n_queries, partial=False):
         "queries": n_queries,
         "result_rows": int(_partial["result_rows"]),
         "scaled_baseline_ms": round(scaled_baseline, 1),
+        "backend": _partial["backend"],
         "slowest": sorted(
             _partial["per_query"].items(), key=lambda kv: -kv[1]
         )[:5],
@@ -96,6 +98,47 @@ def _arm_watchdog(scale, n_queries):
     return t
 
 
+def _ensure_backend() -> str:
+    """Probe the default (tunneled TPU) backend in a subprocess with a hard
+    timeout; fall back to the CPU backend when it is unreachable.
+
+    The axon service intermittently degrades to init hangs or
+    ``UNAVAILABLE`` errors (observed 2026-08-17: ``jax.devices()`` blocks
+    >20 min). Without this guard a dead backend turns the whole bench run
+    into a watchdog zero; with it the driver still records a real (slower,
+    explicitly-flagged) CPU measurement. The probe runs in a subprocess
+    because the hang happens inside backend init, which cannot be
+    interrupted in-process."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return "cpu"
+    import subprocess
+
+    probe_s = float(os.environ.get("BENCH_TPU_PROBE_S", "240"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=probe_s, capture_output=True, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+        log(f"bench: backend probe failed (exit {r.returncode}): "
+            f"{(r.stderr or '')[-400:]}")
+    except subprocess.TimeoutExpired:
+        log(f"bench: backend probe hung >{probe_s:.0f}s")
+    log("bench: TPU unreachable -> CPU fallback "
+        "(shape-shared mode, batch stage off)")
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache_cpu"))
+    # shape-shared kernels: a handful of programs instead of one per
+    # query — the CPU backend's LLVM JIT hits vm.max_map_count past a few
+    # hundred distinct programs in one process
+    os.environ.setdefault("RJT_EXEC_MODE", "shared")
+    os.environ.setdefault("BENCH_BATCH", "off")
+    return "cpu-fallback"
+
+
 def main():
     scale = float(os.environ.get("BENCH_SCALE", "0.01"))
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
@@ -110,6 +153,7 @@ def main():
         names = [n for n in os.environ["BENCH_QUERIES"].split(",") if n]
 
     _arm_watchdog(scale, len(names))
+    _partial["backend"] = _ensure_backend()
     log(f"bench: devices={jax.devices()} scale={scale} queries={len(names)}")
     _partial["stage"] = "datagen"
     t0 = time.perf_counter()
