@@ -171,8 +171,27 @@ def _job_suite(args):
     import json
     import time
 
+    import numpy as np
+
     from radixjoin_tpu.harness import datagen, oracle
     from radixjoin_tpu.harness.run import JobHarness, TableSource
+    from radixjoin_tpu.parallel import make_mesh, multihost
+
+    # Initialize the cross-process (gloo) collective context while every
+    # rank is still in lockstep, BEFORE the minutes-long per-rank datagen:
+    # gloo's TCP pair connect has a short timeout, and any rank-asymmetric
+    # work in front of the first collective trips it.
+    mesh = make_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    probe = multihost.put_sharded(
+        np.arange(mesh.devices.size, dtype=np.int32),
+        NamedSharding(mesh, PartitionSpec(mesh.axis_names[0])),
+    )
+    assert multihost.fetch(probe, mesh).sum() == mesh.devices.size * (
+        mesh.devices.size - 1) // 2
+    print(f"[rank {args.pid}] collective context up "
+          f"({mesh.devices.size} devices)", flush=True)
 
     with open(args.plans) as f:
         doc = json.load(f)
@@ -184,14 +203,10 @@ def _job_suite(args):
     source = TableSource(host_tables=gen.generate())
     harness = JobHarness(args.plans, source, args.sql_dir)
     harness.distributed = True
-
-    sqlite_oracle = None
-    if args.pid == 0:
-        print("[rank 0] loading sqlite oracle ...", flush=True)
-        sqlite_oracle = oracle.SqliteOracle(source.host_tables)
+    harness._mesh = mesh
 
     per_query = {}
-    all_ok = True
+    results = {}
     for name in names:
         times = []
         result = None
@@ -199,23 +214,32 @@ def _job_suite(args):
             t0 = time.perf_counter()
             result, runtime_ms, _, _ = harness.run_query(name)
             times.append(round((time.perf_counter() - t0) * 1e3, 2))
-        correct = None
-        if sqlite_oracle is not None:
-            parsed, plan = harness.build_plan(name)
-            actual = result.to_host().to_rows()
-            sql_rows = sqlite_oracle.query(parsed.executed_sql())
-            correct, detail = oracle.rows_equal(actual, sql_rows)
-            if not correct:
-                all_ok = False
-                print(f"[rank 0] {name} MISMATCH: {detail}", flush=True)
+        results[name] = result
         per_query[name] = {
             "best_ms": min(times[1:]),
             "times_ms": times,
             "rows": result.num_rows,
-            "correct": correct,
+            "correct": None,
         }
         print(f"[rank {args.pid}] {name}: best {min(times[1:])} ms "
-              f"rows={result.num_rows} correct={correct}", flush=True)
+              f"rows={result.num_rows}", flush=True)
+
+    # Verification runs AFTER the timed loop (sqlite load + queries are
+    # rank-0-only work; the timed loop itself must stay rank-symmetric
+    # so no collective waits on a busy peer).
+    all_ok = True
+    if args.pid == 0:
+        print("[rank 0] loading sqlite oracle ...", flush=True)
+        sqlite_oracle = oracle.SqliteOracle(source.host_tables)
+        for name in names:
+            parsed, _plan = harness.build_plan(name)
+            actual = results[name].to_host().to_rows()
+            sql_rows = sqlite_oracle.query(parsed.executed_sql())
+            correct, detail = oracle.rows_equal(actual, sql_rows)
+            per_query[name]["correct"] = bool(correct)
+            if not correct:
+                all_ok = False
+                print(f"[rank 0] {name} MISMATCH: {detail}", flush=True)
 
     import jax
 
