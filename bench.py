@@ -111,32 +111,100 @@ def _ensure_backend() -> str:
     interrupted in-process."""
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         return "cpu"
-    import subprocess
+    if not os.environ.get("BENCH_FORCE_CPU"):
+        import subprocess
 
-    probe_s = float(os.environ.get("BENCH_TPU_PROBE_S", "240"))
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            timeout=probe_s, capture_output=True, text=True,
-        )
-        if r.returncode == 0 and r.stdout.strip():
-            return r.stdout.strip().splitlines()[-1]
-        log(f"bench: backend probe failed (exit {r.returncode}): "
-            f"{(r.stderr or '')[-400:]}")
-    except subprocess.TimeoutExpired:
-        log(f"bench: backend probe hung >{probe_s:.0f}s")
+        probe_s = float(os.environ.get("BENCH_TPU_PROBE_S", "240"))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                timeout=probe_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip().splitlines()[-1]
+            log(f"bench: backend probe failed (exit {r.returncode}): "
+                f"{(r.stderr or '')[-400:]}")
+        except subprocess.TimeoutExpired:
+            log(f"bench: backend probe hung >{probe_s:.0f}s")
     log("bench: TPU unreachable -> CPU fallback "
         "(shape-shared mode, batch stage off)")
     jax.config.update("jax_platforms", "cpu")
+    # CPU AOT cache entries are host-microarch-specific: entries written
+    # by a different machine SIGSEGV when loaded (the repo disk persists
+    # across heterogeneous hosts), so key the cache dir by a CPU
+    # fingerprint instead of sharing one directory
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            info = [ln for ln in f.read().splitlines()
+                    if ln.startswith(("model name", "flags"))][:2]
+        fp = hashlib.sha1("\n".join(info).encode()).hexdigest()[:10]
+    except OSError:
+        fp = "unknown"
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache_cpu"))
+                      os.path.join(REPO, f".jax_cache_cpu_{fp}"))
     # shape-shared kernels: a handful of programs instead of one per
     # query — the CPU backend's LLVM JIT hits vm.max_map_count past a few
     # hundred distinct programs in one process
     os.environ.setdefault("RJT_EXEC_MODE", "shared")
     os.environ.setdefault("BENCH_BATCH", "off")
     return "cpu-fallback"
+
+
+def _cpu_chunked(names, scale):
+    """Run the suite as subprocess chunks on the CPU fallback backend.
+
+    One CPU process cannot execute the whole 113-query suite: the LLVM
+    JIT exhausts vm.max_map_count past a few hundred distinct programs
+    (observed as 'LLVM compilation error: Cannot allocate memory' then
+    SIGSEGV) even in shape-shared mode once per-query feedback shapes
+    pile up. Each chunk child emits its own JSON line; this parent
+    aggregates them into the single driver line."""
+    import subprocess
+
+    chunk = int(os.environ.get("BENCH_CPU_CHUNK", "16"))
+    env = dict(os.environ)
+    env["BENCH_FORCE_CPU"] = "1"
+    env["BENCH_CPU_CHILD"] = "1"
+    env.pop("JAX_PLATFORMS", None)
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_S", "3300")) - 120
+    total_ms = 0.0
+    done = 0
+    for i in range(0, len(names), chunk):
+        part = names[i:i + chunk]
+        env["BENCH_QUERIES"] = ",".join(part)
+        budget = deadline - time.monotonic()
+        if budget < 60:
+            log(f"bench: chunk budget exhausted at {done}/{len(names)}")
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"bench: chunk {part[0]}..{part[-1]} timed out")
+            break
+        line = next(
+            (ln for ln in reversed(r.stdout.splitlines())
+             if ln.startswith("{")), None)
+        if r.returncode != 0 or line is None:
+            log(f"bench: chunk {part[0]}..{part[-1]} failed "
+                f"(exit {r.returncode}): {(r.stderr or '')[-600:]}")
+            continue
+        res = json.loads(line)
+        d = res["detail"]
+        total_ms += res["value"]
+        done += d["queries"]
+        _partial["result_rows"] += d["result_rows"]
+        for name, ms in d["slowest"]:
+            _partial["per_query"][name] = ms
+        log(f"bench: chunk {part[0]}..{part[-1]}: {res['value']:.1f} ms "
+            f"({done}/{len(names)} queries)")
+    _emit(total_ms, scale, done, partial=done < len(names))
 
 
 def main():
@@ -154,6 +222,9 @@ def main():
 
     _arm_watchdog(scale, len(names))
     _partial["backend"] = _ensure_backend()
+    if (_partial["backend"] == "cpu-fallback"
+            and not os.environ.get("BENCH_CPU_CHILD")):
+        return _cpu_chunked(names, scale)
     log(f"bench: devices={jax.devices()} scale={scale} queries={len(names)}")
     _partial["stage"] = "datagen"
     t0 = time.perf_counter()
