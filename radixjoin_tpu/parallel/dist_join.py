@@ -47,7 +47,6 @@ class DistJoinConfig:
     max_hot_keys: int = 16
     hot_threshold: float = 0.25  # fraction of per-device probe capacity
     sample_size: int = 65536
-    max_retries: int = 4
 
 
 def _pad_to_shards(arr: np.ndarray, ndev: int, fill=0):
@@ -267,20 +266,38 @@ def distributed_join_device(
     hk = np.asarray(hot_keys)
     hv = np.asarray(hot_valid)
 
-    cf = config.capacity_factor
-    for _attempt in range(config.max_retries):
-        cap_b = max(16, int(cf * bl / ndev) + 1)
-        cap_p = max(16, int(cf * pl / ndev) + 1)
-        hot_cap = max(16, int(config.hot_capacity_factor * bl / ndev) + 1)
+    # Capacity ladder: each retry doubles every receive buffer — the
+    # radix-shuffle capacities AND the hot-broadcast buffer (a skewed
+    # *build* side overflows the hot buffer, which probe-side sampling
+    # cannot predict) — clamped at the provably-sufficient worst case
+    # (one device receives every row / every local row is hot). Only an
+    # overflow at worst-case capacity is an error.
+    m = 1.0
+    while True:
+        cap_b = min(max(16, bl * ndev),
+                    max(16, int(m * config.capacity_factor * bl / ndev) + 1))
+        cap_p = min(max(16, pl * ndev),
+                    max(16, int(m * config.capacity_factor * pl / ndev) + 1))
+        hot_cap = min(
+            max(16, bl),
+            max(16, int(m * config.hot_capacity_factor * bl / ndev) + 1),
+        )
         count_fn = _phase_fn(
             "count", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames
         )
         totals, overflow = count_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
         if int(np.max(multihost.fetch(overflow, mesh))) == 0:
             break
-        cf *= 2.0
-    else:
-        raise RuntimeError("shuffle capacity overflow persisted after retries")
+        at_worst_case = (
+            cap_b >= max(16, bl * ndev)
+            and cap_p >= max(16, pl * ndev)
+            and hot_cap >= max(16, bl)
+        )
+        if at_worst_case:
+            raise RuntimeError(
+                "shuffle overflow at worst-case capacity (engine bug)"
+            )
+        m *= 2.0
 
     s_pad = join_ops.bucket_size(int(np.max(multihost.fetch(totals, mesh))))
     mat_fn = _phase_fn(

@@ -101,6 +101,24 @@ def test_distributed_join_duplicate_build_keys(mesh):
     assert total == 5
 
 
+def test_distributed_join_skewed_build_side(mesh):
+    """An all-one-key BUILD side overflows both the radix shuffle (every
+    row hashes to one owner device) and the hot-broadcast buffer, and
+    probe-side hot-key sampling cannot predict it — the capacity ladder
+    must grow every receive buffer until the worst case is covered
+    (regression: fuzz seed 20048 raised 'overflow persisted')."""
+    rng = np.random.default_rng(7)
+    nb, np_ = 400, 300
+    bk = np.full(nb, 7, dtype=np.int64)  # every build row shares one key
+    bv = np.ones(nb, dtype=bool)
+    pk = np.where(rng.random(np_) < 0.5, 7, rng.integers(100, 200, np_))
+    pk = pk.astype(np.int64)
+    pv = np.ones(np_, dtype=bool)
+    bp = {"x": np.arange(nb, dtype=np.int64)}
+    pp = {"y": np.arange(np_, dtype=np.int64)}
+    run_and_compare(bk, bv, bp, pk, pv, pp, mesh)
+
+
 def test_distributed_matches_hot_and_cold_disjoint(mesh):
     """Hot-path rows and cold-path rows must not double-count."""
     rng = np.random.default_rng(3)

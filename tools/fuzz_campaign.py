@@ -51,8 +51,15 @@ def run_chunk(start: int, count: int, modes: str) -> int:
         plan = gen_plan(rng)
         expected = _mask_nan(execute_plan_rows(plan))
 
-        def check(label, actual_rows):
+        def check(label, run):
             nonlocal failures
+            try:
+                actual_rows = run()
+            except Exception as e:  # a crash is a failure, not a campaign abort
+                failures += 1
+                print(f"FAIL seed={seed} mode={label}: "
+                      f"{type(e).__name__}: {e}", flush=True)
+                return
             ok, msg = rows_equal(_mask_nan(actual_rows), expected)
             if not ok:
                 failures += 1
@@ -69,7 +76,7 @@ def run_chunk(start: int, count: int, modes: str) -> int:
                     execute_distributed,
                 )
 
-                check("dist", execute_distributed(
+                check("dist", lambda: execute_distributed(
                     plan, mesh=make_mesh()).to_rows())
                 continue
             os.environ["RJT_EXEC_MODE"] = env_mode
@@ -77,11 +84,15 @@ def run_chunk(start: int, count: int, modes: str) -> int:
                 os.environ["RJT_HBM_BUDGET_BYTES"] = budget
             else:
                 os.environ.pop("RJT_HBM_BUDGET_BYTES", None)
-            ctx = build_context()
-            try:
-                check(mode, execute(plan, ctx).to_host().to_rows())
-            finally:
-                destroy_context(ctx)
+
+            def run_engine():
+                ctx = build_context()
+                try:
+                    return execute(plan, ctx).to_host().to_rows()
+                finally:
+                    destroy_context(ctx)
+
+            check(mode, run_engine)
     print(f"chunk [{start}, {start + count}): "
           f"{'CLEAN' if failures == 0 else f'{failures} FAILURES'}",
           flush=True)
