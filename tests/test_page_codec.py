@@ -168,6 +168,52 @@ def test_reference_decoder_compat_fixed():
     np.testing.assert_array_equal(data, values[valid])
 
 
+def test_reference_decoder_compat_varchar():
+    """Emulate the reference VARCHAR page walker byte-for-byte.
+
+    Independent re-implementation of src/build_table.cpp:345-405 reading
+    raw bytes: u16 num_rows / u16 num_non_null header, u16 end-offsets at
+    data+4, char payload after the offsets, tail NULL bitmap, and
+    long-string pages flagged num_rows==0xffff (first, u16 num_chars at
+    +2) / 0xfffe (continuation appending to the previous row).
+    """
+    from radixjoin_tpu.storage.columnar import objects_to_heap
+
+    values = _obj([b"ab", b"", b"xyz", b"Movie (2001)", b"L" * 9000, b"tail"])
+    valid = np.array([True, True, False, True, True, True])
+    heap, ends = objects_to_heap(values, valid)
+    pages = pc.encode_varchar_heap(heap, ends, valid)
+
+    rows = []
+    for page in pages:
+        nr = int(page[0]) | (int(page[1]) << 8)
+        if nr == 0xFFFF:  # long string, first page
+            nc = int(page[2]) | (int(page[3]) << 8)
+            rows.append(bytes(page[4 : 4 + nc]))
+            continue
+        if nr == 0xFFFE:  # continuation: append to the previous row
+            nc = int(page[2]) | (int(page[3]) << 8)
+            rows[-1] += bytes(page[4 : 4 + nc])
+            continue
+        nv = int(page[2]) | (int(page[3]) << 8)
+        offs = page[4 : 4 + 2 * nv].view(np.uint16)
+        payload = page[4 + 2 * nv :]
+        bits = np.unpackbits(
+            page[PAGE_SIZE - ((nr + 7) // 8) :], count=nr, bitorder="little"
+        ).astype(bool)
+        k = 0
+        for r in range(nr):
+            if not bits[r]:
+                rows.append(None)
+                continue
+            lo = 0 if k == 0 else int(offs[k - 1])
+            rows.append(bytes(payload[lo : int(offs[k])]))
+            k += 1
+
+    expected = [v if ok else None for v, ok in zip(values, valid)]
+    assert rows == expected
+
+
 def test_host_pool_parallel_codec_round_trip():
     """Column-parallel encode/decode (host_pool) is bit-identical to the
     serial path (RJT_HOST_THREADS=0)."""
