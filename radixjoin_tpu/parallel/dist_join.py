@@ -47,6 +47,12 @@ class DistJoinConfig:
     max_hot_keys: int = 16
     hot_threshold: float = 0.25  # fraction of per-device probe capacity
     sample_size: int = 65536
+    # Build-side Bloom pre-filter: probe rows whose key hits no set bit
+    # cannot match anywhere and stay home (never shuffled) — a semi-join
+    # reduction of all_to_all volume. ~8 bits/build-key (≈12% false
+    # positives, which just shuffle harmlessly); capped so the psum-OR of
+    # the bitmap stays cheap. 0 disables.
+    bloom_max_bits: int = 1 << 18
 
 
 def _pad_to_shards(arr: np.ndarray, ndev: int, fill=0):
@@ -91,13 +97,40 @@ def _gather_hot(keys, valid, payloads, hot_mask, hot_cap: int):
     return gk, gv, gp, overflow
 
 
+def _bloom_member(kb, vb, kp, bits: int):
+    """Global build-key membership test for the probe shard.
+
+    Each device sets the bit of every valid local build key in a
+    ``bits``-wide bitmap (murmur64 radix, the same hash both sides use
+    for routing, so there are NO false negatives); a psum ORs the
+    bitmaps across the mesh; the probe shard tests its keys against the
+    replicated result. False positives (~12% at 8 bits/key) just shuffle
+    harmlessly."""
+    from ..ops.hashing import murmur64
+
+    mask = jnp.uint64(bits - 1)
+    bi = (murmur64(kb) & mask).astype(jnp.int32)
+    one = jnp.ones(kb.shape, dtype=jnp.int32)
+    local = jnp.zeros((bits,), jnp.int32).at[
+        jnp.where(vb, bi, bits)
+    ].max(one, mode="drop")
+    global_bits = jax.lax.psum(local, SHARD_AXIS)
+    pi = (murmur64(kp) & mask).astype(jnp.int32)
+    return global_bits[pi] > 0
+
+
 def _assemble(
-    kb, vb, bpl, kp, vp, ppl, *, ndev, cap_b, cap_p, hot_cap, hot_keys, hot_valid
+    kb, vb, bpl, kp, vp, ppl, *, ndev, cap_b, cap_p, hot_cap, hot_keys,
+    hot_valid, bloom_bits=0
 ):
     """Per-device: shuffle cold rows + replicate hot build rows; returns the
     combined (build, probe) arrays this device joins locally."""
     hot_b = _is_hot(kb, hot_keys, hot_valid)
     hot_p = _is_hot(kp, hot_keys, hot_valid)
+    if bloom_bits:
+        # semi-join reduction: probe rows that cannot match any build key
+        # (globally) die here — they neither shuffle nor join at home
+        vp = vp & _bloom_member(kb, vb, kp, bloom_bits)
 
     rbk, rbv, rbp, ovf_b = shuffle_ops.shuffle(kb, vb, bpl, ndev, cap_b, keep=~hot_b)
     rpk, rpv, rpp, ovf_p = shuffle_ops.shuffle(kp, vp, ppl, ndev, cap_p, keep=~hot_p)
@@ -120,11 +153,12 @@ def _assemble(
     return (jk, jv, jp), (pk, pv, pp), overflow
 
 
-def _count_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev, cap_b, cap_p, hot_cap):
+def _count_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev,
+                 cap_b, cap_p, hot_cap, bloom_bits):
     (jk, jv, _), (pk, pv, _), overflow = _assemble(
         kb, vb, bpl, kp, vp, ppl,
         ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
-        hot_keys=hot_keys, hot_valid=hot_valid,
+        hot_keys=hot_keys, hot_valid=hot_valid, bloom_bits=bloom_bits,
     )
     _, _, _, _, total = join_ops.join_merge_impl(jk, jv, pk, pv)
     return total[None], overflow[None]
@@ -132,12 +166,12 @@ def _count_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev, cap_b, 
 
 def _materialize_phase(
     kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid,
-    *, ndev, cap_b, cap_p, hot_cap, s_pad
+    *, ndev, cap_b, cap_p, hot_cap, s_pad, bloom_bits
 ):
     (jk, jv, jp), (pk, pv, pp), _ = _assemble(
         kb, vb, bpl, kp, vp, ppl,
         ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
-        hot_keys=hot_keys, hot_valid=hot_valid,
+        hot_keys=hot_keys, hot_valid=hot_valid, bloom_bits=bloom_bits,
     )
     ids_s, run_start, _, offsets, total = join_ops.join_merge_impl(
         jk, jv, pk, pv
@@ -197,8 +231,10 @@ _PHASE_CACHE: Dict[tuple, object] = {}
 def _phase_fn(
     phase: str, mesh, ndev, cap_b, cap_p, hot_cap,
     bnames: tuple, pnames: tuple, s_pad: Optional[int] = None,
+    bloom_bits: int = 0,
 ):
-    key = (phase, id(mesh), ndev, cap_b, cap_p, hot_cap, bnames, pnames, s_pad)
+    key = (phase, id(mesh), ndev, cap_b, cap_p, hot_cap, bnames, pnames,
+           s_pad, bloom_bits)
     fn = _PHASE_CACHE.get(key)
     if fn is not None:
         return fn
@@ -208,7 +244,8 @@ def _phase_fn(
         {k: P(SHARD_AXIS) for k in pnames},
         P(), P(),  # hot_keys / hot_valid replicated
     )
-    kwargs = dict(ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap)
+    kwargs = dict(ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
+                  bloom_bits=bloom_bits)
     if phase == "count":
         body = functools.partial(_count_phase, **kwargs)
         out_specs = (P(SHARD_AXIS), P(SHARD_AXIS))
@@ -272,6 +309,13 @@ def distributed_join_device(
     # cannot predict) — clamped at the provably-sufficient worst case
     # (one device receives every row / every local row is hot). Only an
     # overflow at worst-case capacity is an error.
+    # Bloom sizing: ~8 bits per global build key, pow2 for mask-indexing,
+    # capped so the per-phase psum stays small relative to the exchange
+    bloom_bits = 0
+    if config.bloom_max_bits:
+        want = 1 << max(13, (8 * bl * ndev - 1).bit_length())
+        bloom_bits = min(int(config.bloom_max_bits), want)
+
     m = 1.0
     while True:
         cap_b = min(max(16, bl * ndev),
@@ -283,7 +327,8 @@ def distributed_join_device(
             max(16, int(m * config.hot_capacity_factor * bl / ndev) + 1),
         )
         count_fn = _phase_fn(
-            "count", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames
+            "count", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
+            bloom_bits=bloom_bits,
         )
         totals, overflow = count_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
         if int(np.max(multihost.fetch(overflow, mesh))) == 0:
@@ -301,7 +346,8 @@ def distributed_join_device(
 
     s_pad = join_ops.bucket_size(int(np.max(multihost.fetch(totals, mesh))))
     mat_fn = _phase_fn(
-        "materialize", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames, s_pad
+        "materialize", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
+        s_pad, bloom_bits=bloom_bits,
     )
     columns, live, totals = mat_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
     return columns, live, totals

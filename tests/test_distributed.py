@@ -119,6 +119,28 @@ def test_distributed_join_skewed_build_side(mesh):
     run_and_compare(bk, bv, bp, pk, pv, pp, mesh)
 
 
+def test_distributed_join_bloom_semijoin(mesh):
+    """~99.9% of probe keys miss every build key — the build-side Bloom
+    pre-filter must drop them before the all_to_all without losing any
+    true match.  Exercised at the minimum filter size (high
+    false-positive rate, stresses the no-false-negative property) and
+    with the filter disabled; both must be exact."""
+    rng = np.random.default_rng(11)
+    nb, np_ = 300, 10000
+    bk = rng.integers(0, 400, nb).astype(np.int64)
+    bv = np.ones(nb, dtype=bool)
+    pk = rng.integers(0, 1_000_000, np_).astype(np.int64)
+    pk[:17] = bk[:17]  # guarantee some true matches survive
+    pv = np.ones(np_, dtype=bool)
+    pp = {"p": np.arange(np_, dtype=np.int64)}
+    for cfg in (
+        DistJoinConfig(bloom_max_bits=8192),
+        DistJoinConfig(bloom_max_bits=0),
+    ):
+        total = run_and_compare(bk, bv, {}, pk, pv, pp, mesh, cfg)
+        assert total >= 17
+
+
 def test_distributed_matches_hot_and_cold_disjoint(mesh):
     """Hot-path rows and cold-path rows must not double-count."""
     rng = np.random.default_rng(3)
