@@ -53,6 +53,15 @@ class DistJoinConfig:
     # positives, which just shuffle harmlessly); capped so the psum-OR of
     # the bitmap stays cheap. 0 disables.
     bloom_max_bits: int = 1 << 18
+    # >1: split the key space into this many sub-partitions by an
+    # independent digit of the routing hash; each sub-partition exchanges
+    # and joins separately within the same program, and the unrolled
+    # chunk bodies have no data dependence on each other, so XLA's
+    # latency-hiding scheduler overlaps chunk c+1's all_to_all with chunk
+    # c's local sort/join (the double-buffered-partition overlap of
+    # SURVEY.md §7.4). 1 = monolithic exchange (default: overlap only
+    # pays on real ICI meshes; results are exact either way).
+    exchange_chunks: int = 1
 
 
 def _pad_to_shards(arr: np.ndarray, ndev: int, fill=0):
@@ -119,12 +128,30 @@ def _bloom_member(kb, vb, kp, bits: int):
     return global_bits[pi] > 0
 
 
+def _chunk_of(keys, ndev: int, chunks: int):
+    """Sub-partition id: a hash digit independent of the routing digit
+    (``% ndev``), so every key's rows land in exactly one chunk on its
+    owner device — per-chunk local joins are complete and disjoint."""
+    from ..ops.hashing import murmur64
+
+    h = murmur64(keys)
+    return ((h // jnp.uint64(ndev)) % jnp.uint64(chunks)).astype(jnp.int32)
+
+
 def _assemble(
     kb, vb, bpl, kp, vp, ppl, *, ndev, cap_b, cap_p, hot_cap, hot_keys,
-    hot_valid, bloom_bits=0
+    hot_valid, bloom_bits=0, chunks=1
 ):
-    """Per-device: shuffle cold rows + replicate hot build rows; returns the
-    combined (build, probe) arrays this device joins locally."""
+    """Per-device exchange. Returns a list of (build, probe) groups this
+    device joins locally, plus the psum'd overflow count.
+
+    ``chunks == 1``: one group of shuffled-cold + broadcast-hot rows.
+    ``chunks > 1``: one group per key-space sub-partition (each with its
+    own all_to_all — unrolled, dependence-free, so the compiler overlaps
+    chunk c+1's exchange with chunk c's join) plus a hot group. The
+    groups partition the match set exactly: chunk id is a function of
+    the key, and hot keys are excluded from every cold shuffle, so all
+    cross-group key equalities are impossible."""
     hot_b = _is_hot(kb, hot_keys, hot_valid)
     hot_p = _is_hot(kp, hot_keys, hot_valid)
     if bloom_bits:
@@ -132,64 +159,125 @@ def _assemble(
         # (globally) die here — they neither shuffle nor join at home
         vp = vp & _bloom_member(kb, vb, kp, bloom_bits)
 
-    rbk, rbv, rbp, ovf_b = shuffle_ops.shuffle(kb, vb, bpl, ndev, cap_b, keep=~hot_b)
-    rpk, rpv, rpp, ovf_p = shuffle_ops.shuffle(kp, vp, ppl, ndev, cap_p, keep=~hot_p)
+    groups = []
+    if chunks == 1:
+        rbk, rbv, rbp, overflow = shuffle_ops.shuffle(
+            kb, vb, bpl, ndev, cap_b, keep=~hot_b)
+        rpk, rpv, rpp, ovf_p = shuffle_ops.shuffle(
+            kp, vp, ppl, ndev, cap_p, keep=~hot_p)
+        overflow = overflow + ovf_p
+        if hot_keys.shape[0] > 0:
+            gbk, gbv, gbp, ovf_h = _gather_hot(kb, vb, bpl, hot_b, hot_cap)
+            overflow = overflow + jax.lax.psum(ovf_h, SHARD_AXIS).astype(
+                overflow.dtype)
+            jk = jnp.concatenate([rbk, gbk])
+            jv = jnp.concatenate([rbv, gbv])
+            jp = {k: jnp.concatenate([rbp[k], gbp[k]]) for k in rbp}
+            # hot probe rows stay home: append the local shard masked to hot
+            pk = jnp.concatenate([rpk, kp])
+            pv = jnp.concatenate([rpv, vp & hot_p])
+            pp = {k: jnp.concatenate([rpp[k], ppl[k]]) for k in rpp}
+            groups.append(((jk, jv, jp), (pk, pv, pp)))
+        else:
+            groups.append(((rbk, rbv, rbp), (rpk, rpv, rpp)))
+        return groups, overflow
 
+    ch_b = _chunk_of(kb, ndev, chunks)
+    ch_p = _chunk_of(kp, ndev, chunks)
+    overflow = jnp.zeros((), dtype=jnp.int64 if jax.config.x64_enabled
+                         else jnp.int32)
+    for c in range(chunks):
+        rbk, rbv, rbp, ovf_b = shuffle_ops.shuffle(
+            kb, vb, bpl, ndev, cap_b, keep=~hot_b & (ch_b == c))
+        rpk, rpv, rpp, ovf_p = shuffle_ops.shuffle(
+            kp, vp, ppl, ndev, cap_p, keep=~hot_p & (ch_p == c))
+        overflow = overflow + ovf_b.astype(overflow.dtype) + ovf_p.astype(
+            overflow.dtype)
+        groups.append(((rbk, rbv, rbp), (rpk, rpv, rpp)))
     if hot_keys.shape[0] > 0:
         gbk, gbv, gbp, ovf_h = _gather_hot(kb, vb, bpl, hot_b, hot_cap)
-        ovf_h = jax.lax.psum(ovf_h, SHARD_AXIS)
-        jk = jnp.concatenate([rbk, gbk])
-        jv = jnp.concatenate([rbv, gbv])
-        jp = {k: jnp.concatenate([rbp[k], gbp[k]]) for k in rbp}
-        # hot probe rows stay home: append the local shard masked to hot
-        pk = jnp.concatenate([rpk, kp])
-        pv = jnp.concatenate([rpv, vp & hot_p])
-        pp = {k: jnp.concatenate([rpp[k], ppl[k]]) for k in rpp}
-    else:
-        ovf_h = jnp.zeros((), dtype=ovf_b.dtype)
-        jk, jv, jp = rbk, rbv, rbp
-        pk, pv, pp = rpk, rpv, rpp
-    overflow = ovf_b + ovf_p + ovf_h.astype(ovf_b.dtype)
-    return (jk, jv, jp), (pk, pv, pp), overflow
+        overflow = overflow + jax.lax.psum(ovf_h, SHARD_AXIS).astype(
+            overflow.dtype)
+        groups.append(((gbk, gbv, gbp), (kp, vp & hot_p, ppl)))
+    return groups, overflow
 
 
 def _count_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev,
-                 cap_b, cap_p, hot_cap, bloom_bits):
-    (jk, jv, _), (pk, pv, _), overflow = _assemble(
+                 cap_b, cap_p, hot_cap, bloom_bits, chunks):
+    groups, overflow = _assemble(
         kb, vb, bpl, kp, vp, ppl,
         ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
         hot_keys=hot_keys, hot_valid=hot_valid, bloom_bits=bloom_bits,
+        chunks=chunks,
     )
-    _, _, _, _, total = join_ops.join_merge_impl(jk, jv, pk, pv)
+    total = jnp.zeros((), dtype=jnp.int32)
+    for (jk, jv, _), (pk, pv, _) in groups:
+        t = join_ops.join_merge_impl(jk, jv, pk, pv)[4]
+        total = total + t.astype(total.dtype)
     return total[None], overflow[None]
 
 
 def _materialize_phase(
     kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid,
-    *, ndev, cap_b, cap_p, hot_cap, s_pad, bloom_bits
+    *, ndev, cap_b, cap_p, hot_cap, s_pad, bloom_bits, chunks
 ):
-    (jk, jv, jp), (pk, pv, pp), _ = _assemble(
+    groups, _ = _assemble(
         kb, vb, bpl, kp, vp, ppl,
         ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
         hot_keys=hot_keys, hot_valid=hot_valid, bloom_bits=bloom_bits,
+        chunks=chunks,
     )
-    ids_s, run_start, _, offsets, total = join_ops.join_merge_impl(
-        jk, jv, pk, pv
-    )
-    bidx, pidx, live = join_ops.join_expand_merge_impl(
-        ids_s, run_start, offsets, total, s_pad
-    )
-    out = {}
-    out["__build_key"] = jnp.where(live, jk[bidx], 0)
-    # preserve payload dtypes: a bare 0 fill would promote bool payloads
-    # (e.g. chained validity columns) to ints
-    for name, values in jp.items():
-        zero = jnp.zeros((), dtype=values.dtype)
-        out[f"b.{name}"] = jnp.where(live, values[bidx], zero)
-    for name, values in pp.items():
-        zero = jnp.zeros((), dtype=values.dtype)
-        out[f"p.{name}"] = jnp.where(live, values[pidx], zero)
-    return out, live, total[None]
+    if len(groups) == 1:
+        # monolithic exchange: select-based fill (cheaper than scatter)
+        (jk, jv, jp), (pk, pv, pp) = groups[0]
+        ids_s, run_start, _, offsets, total = join_ops.join_merge_impl(
+            jk, jv, pk, pv
+        )
+        bidx, pidx, live = join_ops.join_expand_merge_impl(
+            ids_s, run_start, offsets, total, s_pad
+        )
+        out = {}
+        out["__build_key"] = jnp.where(live, jk[bidx], 0)
+        # preserve payload dtypes: a bare 0 fill would promote bool payloads
+        # (e.g. chained validity columns) to ints
+        for name, values in jp.items():
+            zero = jnp.zeros((), dtype=values.dtype)
+            out[f"b.{name}"] = jnp.where(live, values[bidx], zero)
+        for name, values in pp.items():
+            zero = jnp.zeros((), dtype=values.dtype)
+            out[f"p.{name}"] = jnp.where(live, values[pidx], zero)
+        return out, live, total[None]
+
+    # chunked exchange: every group's matches are packed at the front of
+    # its expansion (live = j < total), so each group scatters its rows
+    # into the shared output at a running base offset
+    (jk0, _, jp0), (_, _, pp0) = groups[0]
+    out = {"__build_key": jnp.zeros((s_pad,), dtype=jk0.dtype)}
+    for name, values in jp0.items():
+        out[f"b.{name}"] = jnp.zeros((s_pad,), dtype=values.dtype)
+    for name, values in pp0.items():
+        out[f"p.{name}"] = jnp.zeros((s_pad,), dtype=values.dtype)
+    base = jnp.zeros((), dtype=jnp.int64)
+    iota = jnp.arange(s_pad, dtype=jnp.int64)
+    for (jk, jv, jp), (pk, pv, pp) in groups:
+        ids_s, run_start, _, offsets, total = join_ops.join_merge_impl(
+            jk, jv, pk, pv
+        )
+        bidx, pidx, live = join_ops.join_expand_merge_impl(
+            ids_s, run_start, offsets, total, s_pad
+        )
+        pos = jnp.where(live, base + iota, s_pad)
+        out["__build_key"] = out["__build_key"].at[pos].set(
+            jk[bidx], mode="drop")
+        for name, values in jp.items():
+            out[f"b.{name}"] = out[f"b.{name}"].at[pos].set(
+                values[bidx], mode="drop")
+        for name, values in pp.items():
+            out[f"p.{name}"] = out[f"p.{name}"].at[pos].set(
+                values[pidx], mode="drop")
+        base = base + total.astype(base.dtype)
+    live = iota < base
+    return out, live, base.astype(jnp.int32)[None]
 
 
 def detect_hot_keys(
@@ -231,10 +319,10 @@ _PHASE_CACHE: Dict[tuple, object] = {}
 def _phase_fn(
     phase: str, mesh, ndev, cap_b, cap_p, hot_cap,
     bnames: tuple, pnames: tuple, s_pad: Optional[int] = None,
-    bloom_bits: int = 0,
+    bloom_bits: int = 0, chunks: int = 1,
 ):
     key = (phase, id(mesh), ndev, cap_b, cap_p, hot_cap, bnames, pnames,
-           s_pad, bloom_bits)
+           s_pad, bloom_bits, chunks)
     fn = _PHASE_CACHE.get(key)
     if fn is not None:
         return fn
@@ -245,7 +333,7 @@ def _phase_fn(
         P(), P(),  # hot_keys / hot_valid replicated
     )
     kwargs = dict(ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
-                  bloom_bits=bloom_bits)
+                  bloom_bits=bloom_bits, chunks=chunks)
     if phase == "count":
         body = functools.partial(_count_phase, **kwargs)
         out_specs = (P(SHARD_AXIS), P(SHARD_AXIS))
@@ -316,19 +404,25 @@ def distributed_join_device(
         want = 1 << max(13, (8 * bl * ndev - 1).bit_length())
         bloom_bits = min(int(config.bloom_max_bits), want)
 
+    # chunked exchange: per-chunk receive buffers start at 1/chunks of the
+    # monolithic estimate (the ladder still climbs to the same worst case)
+    chunks = max(1, int(config.exchange_chunks))
+
     m = 1.0
     while True:
         cap_b = min(max(16, bl * ndev),
-                    max(16, int(m * config.capacity_factor * bl / ndev) + 1))
+                    max(16, int(m * config.capacity_factor * bl
+                                / (ndev * chunks)) + 1))
         cap_p = min(max(16, pl * ndev),
-                    max(16, int(m * config.capacity_factor * pl / ndev) + 1))
+                    max(16, int(m * config.capacity_factor * pl
+                                / (ndev * chunks)) + 1))
         hot_cap = min(
             max(16, bl),
             max(16, int(m * config.hot_capacity_factor * bl / ndev) + 1),
         )
         count_fn = _phase_fn(
             "count", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
-            bloom_bits=bloom_bits,
+            bloom_bits=bloom_bits, chunks=chunks,
         )
         totals, overflow = count_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
         if int(np.max(multihost.fetch(overflow, mesh))) == 0:
@@ -347,7 +441,7 @@ def distributed_join_device(
     s_pad = join_ops.bucket_size(int(np.max(multihost.fetch(totals, mesh))))
     mat_fn = _phase_fn(
         "materialize", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
-        s_pad, bloom_bits=bloom_bits,
+        s_pad, bloom_bits=bloom_bits, chunks=chunks,
     )
     columns, live, totals = mat_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
     return columns, live, totals

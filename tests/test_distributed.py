@@ -141,6 +141,28 @@ def test_distributed_join_bloom_semijoin(mesh):
         assert total >= 17
 
 
+def test_distributed_join_chunked_exchange(mesh):
+    """exchange_chunks>1 splits the key space into independently exchanged
+    sub-partitions (the overlap-ready double-buffered layout); results
+    must be identical to the monolithic exchange, including with a heavy
+    hitter routed through the hot-broadcast group and with the Bloom
+    filter on or off."""
+    rng = np.random.default_rng(5)
+    nb, np_ = 3000, 12000
+    bk = rng.integers(0, 900, nb).astype(np.int64)
+    bv = rng.random(nb) > 0.1
+    pk = rng.integers(0, 1800, np_).astype(np.int64)
+    pk[: np_ // 3] = 42  # heavy hitter -> hot group alongside the chunks
+    pv = rng.random(np_) > 0.1
+    bp = {"b": rng.integers(0, 1000, nb).astype(np.int64)}
+    pp = {"p": np.arange(np_, dtype=np.int64)}
+    for cfg in (
+        DistJoinConfig(exchange_chunks=3),
+        DistJoinConfig(exchange_chunks=4, bloom_max_bits=0),
+    ):
+        run_and_compare(bk, bv, bp, pk, pv, pp, mesh, cfg)
+
+
 def test_distributed_matches_hot_and_cold_disjoint(mesh):
     """Hot-path rows and cold-path rows must not double-count."""
     rng = np.random.default_rng(3)
