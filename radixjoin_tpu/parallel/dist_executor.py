@@ -207,7 +207,9 @@ def _join_node(
     # mesh, so subsample device-side (strided) and fetch only the sample
     ndev = mesh.devices.size
     pl = kp.shape[0] // ndev
-    cap_p = max(16, int(config.capacity_factor * pl / ndev) + 1)
+    # chunked exchange: a key's rows land in a 1/chunks-sized slab
+    chunks = max(1, int(config.exchange_chunks))
+    cap_p = max(16, int(config.capacity_factor * pl / (ndev * chunks)) + 1)
     stride = max(1, kp.shape[0] // config.sample_size)
     # the strided subsample under-counts population frequency by `stride`;
     # scaling the capacity passed to the detector compensates exactly

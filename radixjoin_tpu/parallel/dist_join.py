@@ -182,18 +182,16 @@ def _assemble(
             groups.append(((rbk, rbv, rbp), (rpk, rpv, rpp)))
         return groups, overflow
 
+    # one co-sort per side produces every chunk's send slab; only the
+    # all_to_alls are per-chunk (so they stay independent and overlappable)
     ch_b = _chunk_of(kb, ndev, chunks)
     ch_p = _chunk_of(kp, ndev, chunks)
-    overflow = jnp.zeros((), dtype=jnp.int64 if jax.config.x64_enabled
-                         else jnp.int32)
-    for c in range(chunks):
-        rbk, rbv, rbp, ovf_b = shuffle_ops.shuffle(
-            kb, vb, bpl, ndev, cap_b, keep=~hot_b & (ch_b == c))
-        rpk, rpv, rpp, ovf_p = shuffle_ops.shuffle(
-            kp, vp, ppl, ndev, cap_p, keep=~hot_p & (ch_p == c))
-        overflow = overflow + ovf_b.astype(overflow.dtype) + ovf_p.astype(
-            overflow.dtype)
-        groups.append(((rbk, rbv, rbp), (rpk, rpv, rpp)))
+    b_out, ovf_b = shuffle_ops.shuffle_chunked(
+        kb, vb, bpl, ndev, chunks, cap_b, ch_b, keep=~hot_b)
+    p_out, ovf_p = shuffle_ops.shuffle_chunked(
+        kp, vp, ppl, ndev, chunks, cap_p, ch_p, keep=~hot_p)
+    overflow = ovf_b + ovf_p
+    groups.extend(zip(b_out, p_out))
     if hot_keys.shape[0] > 0:
         gbk, gbv, gbp, ovf_h = _gather_hot(kb, vb, bpl, hot_b, hot_cap)
         overflow = overflow + jax.lax.psum(ovf_h, SHARD_AXIS).astype(
@@ -210,10 +208,11 @@ def _count_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev,
         hot_keys=hot_keys, hot_valid=hot_valid, bloom_bits=bloom_bits,
         chunks=chunks,
     )
-    total = jnp.zeros((), dtype=jnp.int32)
-    for (jk, jv, _), (pk, pv, _) in groups:
-        t = join_ops.join_merge_impl(jk, jv, pk, pv)[4]
-        total = total + t.astype(total.dtype)
+    totals = [join_ops.join_merge_impl(jk, jv, pk, pv)[4]
+              for (jk, jv, _), (pk, pv, _) in groups]
+    total = totals[0]
+    for t in totals[1:]:
+        total = total + t  # keep join_merge_impl's (int64) count dtype
     return total[None], overflow[None]
 
 
@@ -277,7 +276,7 @@ def _materialize_phase(
                 values[pidx], mode="drop")
         base = base + total.astype(base.dtype)
     live = iota < base
-    return out, live, base.astype(jnp.int32)[None]
+    return out, live, base[None]
 
 
 def detect_hot_keys(
@@ -403,6 +402,9 @@ def distributed_join_device(
     if config.bloom_max_bits:
         want = 1 << max(13, (8 * bl * ndev - 1).bit_length())
         bloom_bits = min(int(config.bloom_max_bits), want)
+        # _bloom_member mask-indexes with bits-1: a non-pow2 cap would
+        # silently collapse the filter to the cap's low set bits
+        bloom_bits = 1 << (bloom_bits.bit_length() - 1)
 
     # chunked exchange: per-chunk receive buffers start at 1/chunks of the
     # monolithic estimate (the ladder still climbs to the same worst case)
@@ -470,7 +472,10 @@ def distributed_join(
         probe_keys, probe_valid, probe_payloads,
     )
     pl = kp_d.shape[0] // ndev
-    cap_p = max(16, int(config.capacity_factor * pl / ndev) + 1)
+    # the hot threshold must reflect the buffer a key actually lands in:
+    # with a chunked exchange that is the 1/chunks-sized per-chunk slab
+    chunks = max(1, int(config.exchange_chunks))
+    cap_p = max(16, int(config.capacity_factor * pl / (ndev * chunks)) + 1)
     hot_keys, hot_valid = detect_hot_keys(
         np.asarray(_pad_to_shards(probe_keys, ndev)),
         np.asarray(_pad_to_shards(probe_valid.astype(bool), ndev, fill=False)),

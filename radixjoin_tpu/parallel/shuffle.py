@@ -37,8 +37,13 @@ def bucketize(
     ndev: int,
     capacity: int,
     keep: jnp.ndarray = None,
+    chunk_ids: jnp.ndarray = None,
+    chunks: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
-    """Scatter local rows into a (ndev, capacity) send layout.
+    """Scatter local rows into a (ndev, capacity) send layout — or, with
+    ``chunks > 1``, a (chunks, ndev, capacity) layout in ONE co-sort keyed
+    by (chunk, destination): the chunked exchange needs independent
+    per-chunk send buffers, not ``chunks`` separate full-shard sorts.
 
     ``keep`` optionally masks rows out of the exchange entirely (the skew
     path routes hot-key rows around the shuffle). Invalid rows are dropped
@@ -47,27 +52,32 @@ def bucketize(
     Returns (send_keys, send_valid, send_payloads, overflow_count).
     """
     n = keys.shape[0]
+    nb = ndev * chunks  # real buckets, chunk-major
     live = valid if keep is None else (valid & keep)
     dest = dest_of(keys, ndev)
-    dest = jnp.where(live, dest, ndev)  # dead rows sort to a virtual bucket
+    if chunks > 1:
+        dest = chunk_ids * ndev + dest
+    dest = jnp.where(live, dest, nb)  # dead rows sort to a virtual bucket
 
-    # stable bucket ordering: sort rows by destination
+    # stable bucket ordering: sort rows by (chunk, destination)
     iota = jnp.arange(n, dtype=jnp.int32)
     dest_sorted, perm = jax.lax.sort((dest, iota), num_keys=1)
 
-    counts = jnp.bincount(dest, length=ndev + 1)[:ndev]
+    counts = jnp.bincount(dest, length=nb + 1)[:nb]
     offsets = jnp.cumsum(counts) - counts  # exclusive, per real bucket
     rank = jnp.arange(n, dtype=jnp.int32) - jnp.take(
         jnp.append(offsets, n).astype(jnp.int32), dest_sorted, fill_value=0
     )
 
-    in_cap = (rank < capacity) & (dest_sorted < ndev)
-    flat_idx = jnp.where(in_cap, dest_sorted * capacity + rank, ndev * capacity)
+    in_cap = (rank < capacity) & (dest_sorted < nb)
+    flat_idx = jnp.where(in_cap, dest_sorted * capacity + rank, nb * capacity)
+
+    shape = (chunks, ndev, capacity) if chunks > 1 else (ndev, capacity)
 
     def scatter(values, fill):
-        buf = jnp.full((ndev * capacity + 1,), fill, dtype=values.dtype)
+        buf = jnp.full((nb * capacity + 1,), fill, dtype=values.dtype)
         buf = buf.at[flat_idx].set(values[perm], mode="drop")
-        return buf[:-1].reshape(ndev, capacity)
+        return buf[:-1].reshape(shape)
 
     send_keys = scatter(keys, jnp.zeros((), keys.dtype))
     send_valid = scatter(live, jnp.zeros((), jnp.bool_))
@@ -100,6 +110,34 @@ def shuffle(
     recv_payloads = {k: exchange(v).reshape(-1) for k, v in send_payloads.items()}
     total_overflow = jax.lax.psum(overflow, SHARD_AXIS)
     return recv_keys, recv_valid, recv_payloads, total_overflow
+
+
+def shuffle_chunked(
+    keys: jnp.ndarray,
+    valid: jnp.ndarray,
+    payloads: Dict[str, jnp.ndarray],
+    ndev: int,
+    chunks: int,
+    capacity: int,
+    chunk_ids: jnp.ndarray,
+    keep: jnp.ndarray = None,
+):
+    """Chunked hash shuffle: ONE co-sort bucketizes every row by
+    (chunk, destination), then each chunk's (ndev, capacity) slab rides
+    its own all_to_all — the per-chunk exchanges stay independent (the
+    overlap the chunked join relies on) without re-sorting the shard
+    per chunk. Returns ([(keys, valid, payloads)] per chunk, overflow)."""
+    send_keys, send_valid, send_payloads, overflow = bucketize(
+        keys, valid, payloads, ndev, capacity, keep,
+        chunk_ids=chunk_ids, chunks=chunks,
+    )
+    out = []
+    for c in range(chunks):
+        rk = exchange(send_keys[c]).reshape(-1)
+        rv = exchange(send_valid[c]).reshape(-1)
+        rp = {k: exchange(v[c]).reshape(-1) for k, v in send_payloads.items()}
+        out.append((rk, rv, rp))
+    return out, jax.lax.psum(overflow, SHARD_AXIS)
 
 
 def global_histogram(keys: jnp.ndarray, valid: jnp.ndarray, num_buckets: int):

@@ -70,14 +70,18 @@ def run_chunk(start: int, count: int, modes: str) -> int:
             budget = None
             if mode == "spill":
                 env_mode, budget = "auto", "4096"
-            if mode == "dist":
-                from radixjoin_tpu.parallel import make_mesh
+            if mode in ("dist", "dist_chunked"):
+                from radixjoin_tpu.parallel import DistJoinConfig, make_mesh
                 from radixjoin_tpu.parallel.dist_executor import (
                     execute_distributed,
                 )
 
-                check("dist", lambda: execute_distributed(
-                    plan, mesh=make_mesh()).to_rows())
+                # chunked: overlap-ready exchange + minimum-size Bloom
+                # (maximum false-positive pressure on the semi-join filter)
+                cfg = (DistJoinConfig(exchange_chunks=3, bloom_max_bits=8192)
+                       if mode == "dist_chunked" else None)
+                check(mode, lambda: execute_distributed(
+                    plan, mesh=make_mesh(), config=cfg).to_rows())
                 continue
             os.environ["RJT_EXEC_MODE"] = env_mode
             if budget is not None:
