@@ -91,6 +91,7 @@ class JobHarness:
         return parsed, plan
 
     distributed = False  # set by main's --distributed flag
+    dist_config = None  # optional DistJoinConfig override (--dist-* flags)
     _mesh = None
 
     def run_query(self, name: str, verify: bool = False, sqlite_oracle=None):
@@ -103,7 +104,8 @@ class JobHarness:
             if self._mesh is None:
                 self._mesh = make_mesh()
             t0 = time.perf_counter()
-            host = execute_distributed(plan, mesh=self._mesh)
+            host = execute_distributed(
+                plan, mesh=self._mesh, config=self.dist_config)
             result = ColumnarTable.from_host(host)  # paged, like execute()
             runtime_ms = (time.perf_counter() - t0) * 1e3
         else:
@@ -164,6 +166,15 @@ def main(argv=None):
                         help="execute every plan SPMD over the full device "
                              "mesh (parallel/dist_executor.py) instead of "
                              "the single-chip engine")
+    parser.add_argument("--dist-chunks", type=int, default=None,
+                        metavar="N",
+                        help="with --distributed: split the exchange into N "
+                             "overlappable key-space chunks "
+                             "(DistJoinConfig.exchange_chunks)")
+    parser.add_argument("--dist-bloom-bits", type=int, default=None,
+                        metavar="BITS",
+                        help="with --distributed: cap the build-side Bloom "
+                             "semi-join bitmap (0 disables; default 2^18)")
     parser.add_argument("--platform", choices=["cpu", "tpu", "default"],
                         default="default",
                         help="force the JAX backend. NOTE: in this "
@@ -203,6 +214,15 @@ def main(argv=None):
 
     harness = JobHarness(args.plans, source, sql_dir)
     harness.distributed = args.distributed
+    if args.dist_chunks is not None or args.dist_bloom_bits is not None:
+        from ..parallel import DistJoinConfig
+
+        overrides = {}
+        if args.dist_chunks is not None:
+            overrides["exchange_chunks"] = args.dist_chunks
+        if args.dist_bloom_bits is not None:
+            overrides["bloom_max_bits"] = args.dist_bloom_bits
+        harness.dist_config = DistJoinConfig(**overrides)
 
     profile_ctx = None
     if args.profile:
