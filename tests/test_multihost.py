@@ -30,7 +30,12 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_cluster_runs_whole_plan(tmp_path):
+@pytest.mark.parametrize("dist_chunks", [0, 3],
+                         ids=["monolithic", "chunked"])
+def test_two_process_cluster_runs_whole_plan(tmp_path, dist_chunks):
+    """dist_chunks=3 additionally pins the chunked (overlap-ready)
+    exchange over REAL cross-process collectives — gloo's all_to_all is
+    a different implementation than the single-process CPU mesh's."""
     port = _free_port()
     nprocs = 2
     env = dict(os.environ)
@@ -46,7 +51,8 @@ def test_two_process_cluster_runs_whole_plan(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, "--pid", str(pid),
              "--nprocs", str(nprocs), "--port", str(port),
-             "--local-devices", "4", "--out", str(out)],
+             "--local-devices", "4", "--out", str(out),
+             "--dist-chunks", str(dist_chunks)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         ))

@@ -41,6 +41,9 @@ def main():
                     help="synthetic IMDB scale for --scenario job")
     ap.add_argument("--job-queries", default="1a,6a,8d,9d,16b,6f",
                     help="comma-separated JOB query names for --scenario job")
+    ap.add_argument("--dist-chunks", type=int, default=0,
+                    help=">0: run the exchange in this many overlappable "
+                         "key-space chunks (DistJoinConfig.exchange_chunks)")
     args = ap.parse_args()
 
     # Platform must be pinned before any backend initializes (the dev
@@ -146,7 +149,12 @@ def main():
     )
     plan.root = j3
 
-    result = execute_distributed(plan, mesh=make_mesh())
+    config = None
+    if args.dist_chunks > 0:
+        from radixjoin_tpu.parallel import DistJoinConfig
+
+        config = DistJoinConfig(exchange_chunks=args.dist_chunks)
+    result = execute_distributed(plan, mesh=make_mesh(), config=config)
     actual = result.to_rows()
     expected = oracle.execute_plan_rows(plan)
     correct, detail = oracle.rows_equal(actual, expected)
