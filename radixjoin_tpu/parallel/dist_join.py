@@ -200,49 +200,56 @@ def _assemble(
     return groups, overflow
 
 
-def _count_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev,
-                 cap_b, cap_p, hot_cap, bloom_bits, chunks):
+def _exchange_phase(kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid, *, ndev,
+                    cap_b, cap_p, hot_cap, bloom_bits, chunks):
+    """Phase A: exchange + local co-sort + match count, per group.
+
+    Returns every per-device intermediate the expansion needs — the
+    received build keys/payloads, probe payloads, and the sort products
+    (ids/run starts/offsets) — as sharded outputs, so phase B never
+    repeats the all_to_all or the sort (they are the two dominant costs
+    of the distributed join; the naive count-then-materialize pattern
+    pays both twice)."""
     groups, overflow = _assemble(
         kb, vb, bpl, kp, vp, ppl,
         ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
         hot_keys=hot_keys, hot_valid=hot_valid, bloom_bits=bloom_bits,
         chunks=chunks,
     )
-    totals = [join_ops.join_merge_impl(jk, jv, pk, pv)[4]
-              for (jk, jv, _), (pk, pv, _) in groups]
-    total = totals[0]
-    for t in totals[1:]:
-        total = total + t  # keep join_merge_impl's (int64) count dtype
-    return total[None], overflow[None]
-
-
-def _materialize_phase(
-    kb, vb, bpl, kp, vp, ppl, hot_keys, hot_valid,
-    *, ndev, cap_b, cap_p, hot_cap, s_pad, bloom_bits, chunks
-):
-    groups, _ = _assemble(
-        kb, vb, bpl, kp, vp, ppl,
-        ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
-        hot_keys=hot_keys, hot_valid=hot_valid, bloom_bits=bloom_bits,
-        chunks=chunks,
-    )
-    if len(groups) == 1:
-        # monolithic exchange: select-based fill (cheaper than scatter)
-        (jk, jv, jp), (pk, pv, pp) = groups[0]
+    out_groups = []
+    total_sum = None
+    for (jk, jv, jp), (pk, pv, pp) in groups:
         ids_s, run_start, _, offsets, total = join_ops.join_merge_impl(
             jk, jv, pk, pv
         )
+        out_groups.append(dict(
+            jk=jk, jp=jp, pp=pp,
+            ids_s=ids_s, run_start=run_start, offsets=offsets,
+            total=total[None],
+        ))
+        total_sum = total if total_sum is None else total_sum + total
+    return out_groups, total_sum[None], overflow[None]
+
+
+def _expand_phase(groups, *, s_pad):
+    """Phase B: expansion + late materialization at the host-chosen
+    static output bucket, from phase A's carried intermediates. Pure
+    local compute — no collectives."""
+    if len(groups) == 1:
+        # monolithic exchange: select-based fill (cheaper than scatter)
+        g = groups[0]
+        total = g["total"][0]
         bidx, pidx, live = join_ops.join_expand_merge_impl(
-            ids_s, run_start, offsets, total, s_pad
+            g["ids_s"], g["run_start"], g["offsets"], total, s_pad
         )
         out = {}
-        out["__build_key"] = jnp.where(live, jk[bidx], 0)
+        out["__build_key"] = jnp.where(live, g["jk"][bidx], 0)
         # preserve payload dtypes: a bare 0 fill would promote bool payloads
         # (e.g. chained validity columns) to ints
-        for name, values in jp.items():
+        for name, values in g["jp"].items():
             zero = jnp.zeros((), dtype=values.dtype)
             out[f"b.{name}"] = jnp.where(live, values[bidx], zero)
-        for name, values in pp.items():
+        for name, values in g["pp"].items():
             zero = jnp.zeros((), dtype=values.dtype)
             out[f"p.{name}"] = jnp.where(live, values[pidx], zero)
         return out, live, total[None]
@@ -250,28 +257,26 @@ def _materialize_phase(
     # chunked exchange: every group's matches are packed at the front of
     # its expansion (live = j < total), so each group scatters its rows
     # into the shared output at a running base offset
-    (jk0, _, jp0), (_, _, pp0) = groups[0]
-    out = {"__build_key": jnp.zeros((s_pad,), dtype=jk0.dtype)}
-    for name, values in jp0.items():
+    g0 = groups[0]
+    out = {"__build_key": jnp.zeros((s_pad,), dtype=g0["jk"].dtype)}
+    for name, values in g0["jp"].items():
         out[f"b.{name}"] = jnp.zeros((s_pad,), dtype=values.dtype)
-    for name, values in pp0.items():
+    for name, values in g0["pp"].items():
         out[f"p.{name}"] = jnp.zeros((s_pad,), dtype=values.dtype)
     base = jnp.zeros((), dtype=jnp.int64)
     iota = jnp.arange(s_pad, dtype=jnp.int64)
-    for (jk, jv, jp), (pk, pv, pp) in groups:
-        ids_s, run_start, _, offsets, total = join_ops.join_merge_impl(
-            jk, jv, pk, pv
-        )
+    for g in groups:
+        total = g["total"][0]
         bidx, pidx, live = join_ops.join_expand_merge_impl(
-            ids_s, run_start, offsets, total, s_pad
+            g["ids_s"], g["run_start"], g["offsets"], total, s_pad
         )
         pos = jnp.where(live, base + iota, s_pad)
         out["__build_key"] = out["__build_key"].at[pos].set(
-            jk[bidx], mode="drop")
-        for name, values in jp.items():
+            g["jk"][bidx], mode="drop")
+        for name, values in g["jp"].items():
             out[f"b.{name}"] = out[f"b.{name}"].at[pos].set(
                 values[bidx], mode="drop")
-        for name, values in pp.items():
+        for name, values in g["pp"].items():
             out[f"p.{name}"] = out[f"p.{name}"].at[pos].set(
                 values[pidx], mode="drop")
         base = base + total.astype(base.dtype)
@@ -315,29 +320,47 @@ def detect_hot_keys(
 _PHASE_CACHE: Dict[tuple, object] = {}
 
 
+def _group_specs(bnames: tuple, pnames: tuple, ngroups: int):
+    """PartitionSpec pytree mirroring _exchange_phase's per-group output."""
+    one = dict(
+        jk=P(SHARD_AXIS),
+        jp={k: P(SHARD_AXIS) for k in bnames},
+        pp={k: P(SHARD_AXIS) for k in pnames},
+        ids_s=P(SHARD_AXIS), run_start=P(SHARD_AXIS),
+        offsets=P(SHARD_AXIS), total=P(SHARD_AXIS),
+    )
+    return [dict(one, jp=dict(one["jp"]), pp=dict(one["pp"]))
+            for _ in range(ngroups)]
+
+
 def _phase_fn(
     phase: str, mesh, ndev, cap_b, cap_p, hot_cap,
     bnames: tuple, pnames: tuple, s_pad: Optional[int] = None,
-    bloom_bits: int = 0, chunks: int = 1,
+    bloom_bits: int = 0, chunks: int = 1, ngroups: int = 1,
 ):
     key = (phase, id(mesh), ndev, cap_b, cap_p, hot_cap, bnames, pnames,
-           s_pad, bloom_bits, chunks)
+           s_pad, bloom_bits, chunks, ngroups)
     fn = _PHASE_CACHE.get(key)
     if fn is not None:
         return fn
-    in_specs = (P(SHARD_AXIS),) * 2 + (
-        {k: P(SHARD_AXIS) for k in bnames},
-        P(SHARD_AXIS), P(SHARD_AXIS),
-        {k: P(SHARD_AXIS) for k in pnames},
-        P(), P(),  # hot_keys / hot_valid replicated
-    )
-    kwargs = dict(ndev=ndev, cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap,
-                  bloom_bits=bloom_bits, chunks=chunks)
-    if phase == "count":
-        body = functools.partial(_count_phase, **kwargs)
-        out_specs = (P(SHARD_AXIS), P(SHARD_AXIS))
+    if phase == "exchange":
+        in_specs = (P(SHARD_AXIS),) * 2 + (
+            {k: P(SHARD_AXIS) for k in bnames},
+            P(SHARD_AXIS), P(SHARD_AXIS),
+            {k: P(SHARD_AXIS) for k in pnames},
+            P(), P(),  # hot_keys / hot_valid replicated
+        )
+        body = functools.partial(
+            _exchange_phase, ndev=ndev, cap_b=cap_b, cap_p=cap_p,
+            hot_cap=hot_cap, bloom_bits=bloom_bits, chunks=chunks,
+        )
+        out_specs = (
+            _group_specs(bnames, pnames, ngroups),
+            P(SHARD_AXIS), P(SHARD_AXIS),
+        )
     else:
-        body = functools.partial(_materialize_phase, s_pad=s_pad, **kwargs)
+        in_specs = (_group_specs(bnames, pnames, ngroups),)
+        body = functools.partial(_expand_phase, s_pad=s_pad)
         out_specs = (
             {name: P(SHARD_AXIS) for name in
              ["__build_key"] + [f"b.{k}" for k in bnames]
@@ -410,6 +433,12 @@ def distributed_join_device(
     # monolithic estimate (the ladder still climbs to the same worst case)
     chunks = max(1, int(config.exchange_chunks))
 
+    # group census must match _assemble's static structure: chunks==1
+    # folds the hot rows into the single group; chunks>1 gives them
+    # their own group
+    has_hot = len(hk) > 0
+    ngroups = (chunks + (1 if has_hot else 0)) if chunks > 1 else 1
+
     m = 1.0
     while True:
         cap_b = min(max(16, bl * ndev),
@@ -422,11 +451,12 @@ def distributed_join_device(
             max(16, bl),
             max(16, int(m * config.hot_capacity_factor * bl / ndev) + 1),
         )
-        count_fn = _phase_fn(
-            "count", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
-            bloom_bits=bloom_bits, chunks=chunks,
+        ex_fn = _phase_fn(
+            "exchange", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
+            bloom_bits=bloom_bits, chunks=chunks, ngroups=ngroups,
         )
-        totals, overflow = count_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
+        groups_dev, totals, overflow = ex_fn(
+            kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
         if int(np.max(multihost.fetch(overflow, mesh))) == 0:
             break
         at_worst_case = (
@@ -440,12 +470,14 @@ def distributed_join_device(
             )
         m *= 2.0
 
+    # phase B expands from phase A's carried (sharded) intermediates —
+    # the exchange and the sort are never recomputed
     s_pad = join_ops.bucket_size(int(np.max(multihost.fetch(totals, mesh))))
-    mat_fn = _phase_fn(
-        "materialize", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
-        s_pad, bloom_bits=bloom_bits, chunks=chunks,
+    ex_fn = _phase_fn(
+        "expand", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
+        s_pad, bloom_bits=bloom_bits, chunks=chunks, ngroups=ngroups,
     )
-    columns, live, totals = mat_fn(kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
+    columns, live, totals = ex_fn(groups_dev)
     return columns, live, totals
 
 
