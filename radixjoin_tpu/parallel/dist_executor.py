@@ -222,7 +222,7 @@ def _join_node(
     columns, live, totals = distributed_join_device(
         kb, vb, bpl, kp, vp, ppl, mesh, hot_keys, hot_valid, config
     )
-    total = int(np.sum(multihost.fetch(totals, mesh)))
+    total = int(np.sum(totals))  # host array: fetched once by the ladder
     if total == 0:
         return _empty_res(node.output_attrs, mesh)
 

@@ -252,7 +252,7 @@ def _expand_phase(groups, *, s_pad):
         for name, values in g["pp"].items():
             zero = jnp.zeros((), dtype=values.dtype)
             out[f"p.{name}"] = jnp.where(live, values[pidx], zero)
-        return out, live, total[None]
+        return out, live
 
     # chunked exchange: every group's matches are packed at the front of
     # its expansion (live = j < total), so each group scatters its rows
@@ -281,7 +281,7 @@ def _expand_phase(groups, *, s_pad):
                 values[pidx], mode="drop")
         base = base + total.astype(base.dtype)
     live = iota < base
-    return out, live, base[None]
+    return out, live
 
 
 def detect_hot_keys(
@@ -365,7 +365,6 @@ def _phase_fn(
             {name: P(SHARD_AXIS) for name in
              ["__build_key"] + [f"b.{k}" for k in bnames]
              + [f"p.{k}" for k in pnames]},
-            P(SHARD_AXIS),
             P(SHARD_AXIS),
         )
     fn = jax.jit(shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs))
@@ -457,7 +456,9 @@ def distributed_join_device(
         )
         groups_dev, totals, overflow = ex_fn(
             kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
-        if int(np.max(multihost.fetch(overflow, mesh))) == 0:
+        # one batched round trip for both scalars-per-device
+        totals_h, overflow_h = multihost.fetch_many((totals, overflow), mesh)
+        if int(np.max(overflow_h)) == 0:
             break
         at_worst_case = (
             cap_b >= max(16, bl * ndev)
@@ -471,14 +472,15 @@ def distributed_join_device(
         m *= 2.0
 
     # phase B expands from phase A's carried (sharded) intermediates —
-    # the exchange and the sort are never recomputed
-    s_pad = join_ops.bucket_size(int(np.max(multihost.fetch(totals, mesh))))
+    # the exchange and the sort are never recomputed, and the totals the
+    # ladder already fetched size the bucket (no further sync)
+    s_pad = join_ops.bucket_size(int(np.max(totals_h)))
     ex_fn = _phase_fn(
         "expand", mesh, ndev, cap_b, cap_p, hot_cap, bnames, pnames,
         s_pad, bloom_bits=bloom_bits, chunks=chunks, ngroups=ngroups,
     )
-    columns, live, totals = ex_fn(groups_dev)
-    return columns, live, totals
+    columns, live = ex_fn(groups_dev)
+    return columns, live, totals_h
 
 
 def distributed_join(
@@ -494,7 +496,8 @@ def distributed_join(
     """Exact distributed inner join. Returns (columns, live, totals) where
     ``columns`` maps '__build_key' / 'b.*' / 'p.*' to mesh-sharded arrays of
     shape (ndev*s_pad,), ``live`` flags real output rows, and ``totals`` is
-    the per-device match count."""
+    the per-device match count as a host ndarray (already fetched — the
+    capacity ladder needed it, so callers must not fetch again)."""
     config = config or DistJoinConfig()
     mesh = mesh or make_mesh()
     ndev = mesh.devices.size

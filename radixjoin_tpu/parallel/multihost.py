@@ -108,6 +108,18 @@ def fetch(global_array, mesh) -> np.ndarray:
     return np.asarray(fetch_device(global_array, mesh).addressable_data(0))
 
 
+def fetch_many(arrays, mesh):
+    """Fetch a pytree of global arrays in ONE batched transfer.
+
+    ``fetch`` blocks per array (one round trip each on a tunneled
+    runtime); this starts every device->host copy together via
+    ``jax.device_get`` on the whole tree."""
+    if not active():
+        return jax.device_get(arrays)
+    return jax.device_get(jax.tree.map(
+        lambda a: fetch_device(a, mesh).addressable_data(0), arrays))
+
+
 def fetch_device(global_array, mesh):
     """Like :func:`fetch` but stays on device (replicated layout)."""
     key = id(mesh)
