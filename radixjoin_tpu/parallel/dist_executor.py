@@ -213,9 +213,10 @@ def _join_node(
     stride = max(1, kp.shape[0] // config.sample_size)
     # the strided subsample under-counts population frequency by `stride`;
     # scaling the capacity passed to the detector compensates exactly
+    sample_k, sample_v = multihost.fetch_many(
+        (kp[::stride], vp[::stride]), mesh)
     hot_keys, hot_valid = detect_hot_keys(
-        multihost.fetch(kp[::stride], mesh),
-        multihost.fetch(vp[::stride], mesh),
+        np.asarray(sample_k), np.asarray(sample_v),
         config, ndev, max(1, cap_p // stride),
     )
 
