@@ -44,6 +44,7 @@ from .dist_join import (
     DistJoinConfig,
     _pad_to_shards,
     detect_hot_keys,
+    distributed_join_deferred,
     distributed_join_device,
 )
 from . import multihost
@@ -61,6 +62,23 @@ class _NodeRes:
     live: object  # sharded bool, or None (scan: validity == liveness)
     total: int
     dicts: List[Optional[StringDict]]
+
+
+# Distributed cardinality feedback: (plan content key, node idx) ->
+# learned static join config + hot keys + totals from a cold run. A warm
+# repeat replays every join sync-free (distributed_join_deferred) and
+# validates ALL joins in one batched fetch at the plan root; any
+# deviation (data changed under the same shape, overflow, different
+# totals) evicts the plan's entries and reruns cold. Every process
+# learns identical state from identically-replicated fetches, so
+# multi-process ranks take the same warm/cold decision in lockstep.
+_DIST_FEEDBACK: Dict[tuple, dict] = {}
+
+
+def _plan_key(plan: Plan) -> str:
+    from .. import engine as eng
+
+    return eng._FeedbackStore._key(plan)
 
 
 _F64_KEY_FN = None
@@ -165,6 +183,8 @@ def _unify_varchar_keys(kb, kp, db, dp, mesh):
 def _join_node(
     plan: Plan, node, left: _NodeRes, right: _NodeRes, mesh,
     config: DistJoinConfig,
+    fb_key: Optional[tuple] = None,
+    checks: Optional[list] = None,
 ) -> _NodeRes:
     j = node.data
     if left.total == 0 or right.total == 0:
@@ -203,29 +223,49 @@ def _join_node(
         kb, vb = _canon_f64_keys(kb, vb)
         kp, vp = _canon_f64_keys(kp, vp)
 
-    # heavy-hitter detection samples the probe side; the keys live on the
-    # mesh, so subsample device-side (strided) and fetch only the sample
-    ndev = mesh.devices.size
-    pl = kp.shape[0] // ndev
-    # chunked exchange: a key's rows land in a 1/chunks-sized slab
-    chunks = max(1, int(config.exchange_chunks))
-    cap_p = max(16, int(config.capacity_factor * pl / (ndev * chunks)) + 1)
-    stride = max(1, kp.shape[0] // config.sample_size)
-    # the strided subsample under-counts population frequency by `stride`;
-    # scaling the capacity passed to the detector compensates exactly
-    sample_k, sample_v = multihost.fetch_many(
-        (kp[::stride], vp[::stride]), mesh)
-    hot_keys, hot_valid = detect_hot_keys(
-        np.asarray(sample_k), np.asarray(sample_v),
-        config, ndev, max(1, cap_p // stride),
-    )
+    fb = _DIST_FEEDBACK.get(fb_key) if fb_key is not None else None
+    if fb is not None:
+        # warm replay: zero host syncs — learned hot keys, capacities and
+        # output bucket; validation deferred to the plan-root batch check
+        columns, live, totals_dev, overflow_dev = distributed_join_deferred(
+            kb, vb, bpl, kp, vp, ppl, mesh,
+            fb["hot_keys"], fb["hot_valid"], config, fb,
+        )
+        checks.append((totals_dev, overflow_dev, fb["totals"]))
+        total = int(fb["totals"].sum())
+        if total == 0:
+            return _empty_res(node.output_attrs, mesh)
+    else:
+        # heavy-hitter detection samples the probe side; the keys live on
+        # the mesh, so subsample device-side (strided), fetch the sample
+        ndev = mesh.devices.size
+        pl = kp.shape[0] // ndev
+        # chunked exchange: a key's rows land in a 1/chunks-sized slab
+        chunks = max(1, int(config.exchange_chunks))
+        cap_p = max(16, int(config.capacity_factor * pl
+                            / (ndev * chunks)) + 1)
+        stride = max(1, kp.shape[0] // config.sample_size)
+        # the strided subsample under-counts population frequency by
+        # `stride`; scaling the detector's capacity compensates exactly
+        sample_k, sample_v = multihost.fetch_many(
+            (kp[::stride], vp[::stride]), mesh)
+        hot_keys, hot_valid = detect_hot_keys(
+            np.asarray(sample_k), np.asarray(sample_v),
+            config, ndev, max(1, cap_p // stride),
+        )
 
-    columns, live, totals = distributed_join_device(
-        kb, vb, bpl, kp, vp, ppl, mesh, hot_keys, hot_valid, config
-    )
-    total = int(np.sum(totals))  # host array: fetched once by the ladder
-    if total == 0:
-        return _empty_res(node.output_attrs, mesh)
+        info: dict = {}
+        columns, live, totals = distributed_join_device(
+            kb, vb, bpl, kp, vp, ppl, mesh, hot_keys, hot_valid, config,
+            info_out=info,
+        )
+        if fb_key is not None:
+            info.update(hot_keys=hot_keys, hot_valid=hot_valid,
+                        totals=np.asarray(totals))
+            _DIST_FEEDBACK[fb_key] = info
+        total = int(np.sum(totals))  # host array: fetched by the ladder
+        if total == 0:
+            return _empty_res(node.output_attrs, mesh)
 
     bname = "b" if j.build_left else "p"
     rname = "p" if j.build_left else "b"
@@ -253,6 +293,8 @@ def execute_distributed(
     mesh = mesh or make_mesh()
     config = config or DistJoinConfig()
 
+    key = _plan_key(plan) if config.feedback else None
+    checks: list = []
     results: Dict[int, _NodeRes] = {}
     for idx in plan.topo_order():
         node = plan.nodes[idx]
@@ -263,24 +305,49 @@ def execute_distributed(
                 plan, node,
                 results[node.data.left], results[node.data.right],
                 mesh, config,
+                fb_key=(key, idx) if key is not None else None,
+                checks=checks,
             )
+
+    if checks:
+        # one batched fetch validates every warm-replayed join: exact iff
+        # no shuffle overflowed and every join produced the totals the
+        # replay planned with (a changed dataset under the same plan
+        # shape, or grown skew, fails here and reruns cold)
+        fetched = multihost.fetch_many(
+            [(t, o) for t, o, _ in checks], mesh)
+        ok = all(
+            int(np.max(o)) == 0 and np.array_equal(np.asarray(t), learned)
+            for (t, o), (_, _, learned) in zip(fetched, checks)
+        )
+        if not ok:
+            for idx in plan.topo_order():
+                _DIST_FEEDBACK.pop((key, idx), None)
+            cold = dataclasses.replace(config, feedback=False)
+            return execute_distributed(plan, mesh=mesh, config=cold)
 
     root = results[plan.root]
     root_node = plan.nodes[plan.root]
     n = root.total
+    # batched gather: live mask + every root column in one transfer
+    fetched_cols = multihost.fetch_many(
+        ([] if root.live is None else [root.live])
+        + [a for dv in root.cols for a in dv], mesh)
     if root.live is None:
         live_np = np.zeros(0, bool)  # scan root: slice below
+        flat = fetched_cols
     else:
-        live_np = multihost.fetch(root.live, mesh)
+        live_np = np.asarray(fetched_cols[0])
+        flat = fetched_cols[1:]
     cols: List[HostColumn] = []
     for k, (ci, dt) in enumerate(root_node.output_attrs):
-        data_d, valid_d = root.cols[k]
+        data_h, valid_h = flat[2 * k], flat[2 * k + 1]
         if root.live is None:
-            values = multihost.fetch(data_d, mesh)[:n]
-            valid = multihost.fetch(valid_d, mesh)[:n]
+            values = np.asarray(data_h)[:n]
+            valid = np.asarray(valid_h)[:n]
         else:
-            values = multihost.fetch(data_d, mesh)[live_np]
-            valid = multihost.fetch(valid_d, mesh)[live_np]
+            values = np.asarray(data_h)[live_np]
+            valid = np.asarray(valid_h)[live_np]
         if dt is DataType.VARCHAR:
             d = root.dicts[k] or StringDict.empty()
             if len(values) == 0 or d.size == 0:

@@ -62,6 +62,13 @@ class DistJoinConfig:
     # SURVEY.md §7.4). 1 = monolithic exchange (default: overlap only
     # pays on real ICI meshes; results are exact either way).
     exchange_chunks: int = 1
+    # Cardinality feedback (dist_executor): repeat executions of the same
+    # plan shape replay every join sync-free from the learned capacities,
+    # hot keys and output buckets, deferring ALL validation to one
+    # batched check at the plan root (any mismatch reruns the plan cold —
+    # results are exact either way). The distributed analogue of the
+    # single-chip RJT_CARD_FEEDBACK.
+    feedback: bool = True
 
 
 def _pad_to_shards(arr: np.ndarray, ndev: int, fill=0):
@@ -393,14 +400,55 @@ def shard_inputs(
     )
 
 
+def distributed_join_deferred(
+    kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d,
+    mesh,
+    hot_keys: np.ndarray,
+    hot_valid: np.ndarray,
+    config: DistJoinConfig,
+    info: dict,
+):
+    """Both phases with ZERO host syncs: capacities, hot keys and the
+    output bucket come from a previous (cold) run's feedback (``info`` as
+    populated by :func:`distributed_join_device`'s ``info_out``).
+
+    Returns ``(columns, live, totals_dev, overflow_dev)`` — the caller
+    must validate the device check arrays later (batched, e.g. once at
+    the plan root): the result is exact iff every overflow count is zero
+    AND the fetched totals equal the learned totals the caller planned
+    with; otherwise rerun cold."""
+    ndev = mesh.devices.size
+    bnames, pnames = tuple(bpl_d), tuple(ppl_d)
+    hk, hv = np.asarray(hot_keys), np.asarray(hot_valid)
+    common = dict(bloom_bits=info["bloom_bits"], chunks=info["chunks"],
+                  ngroups=info["ngroups"])
+    ex_fn = _phase_fn(
+        "exchange", mesh, ndev, info["cap_b"], info["cap_p"],
+        info["hot_cap"], bnames, pnames, **common,
+    )
+    groups_dev, totals, overflow = ex_fn(
+        kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
+    mat_fn = _phase_fn(
+        "expand", mesh, ndev, info["cap_b"], info["cap_p"],
+        info["hot_cap"], bnames, pnames, info["s_pad"], **common,
+    )
+    columns, live = mat_fn(groups_dev)
+    return columns, live, totals, overflow
+
+
 def distributed_join_device(
     kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d,
     mesh,
     hot_keys: np.ndarray,
     hot_valid: np.ndarray,
     config: Optional[DistJoinConfig] = None,
+    info_out: Optional[dict] = None,
 ):
-    """Run the two SPMD phases on already-sharded device arrays."""
+    """Run the two SPMD phases on already-sharded device arrays.
+
+    ``info_out``, if given, is populated with the resolved static config
+    (capacities, bucket, group census) so a caller can replay the join
+    sync-free via :func:`distributed_join_deferred`."""
     config = config or DistJoinConfig()
     ndev = mesh.devices.size
     bl = kb_d.shape[0] // ndev
@@ -480,6 +528,11 @@ def distributed_join_device(
         s_pad, bloom_bits=bloom_bits, chunks=chunks, ngroups=ngroups,
     )
     columns, live = ex_fn(groups_dev)
+    if info_out is not None:
+        info_out.update(
+            cap_b=cap_b, cap_p=cap_p, hot_cap=hot_cap, s_pad=s_pad,
+            bloom_bits=bloom_bits, chunks=chunks, ngroups=ngroups,
+        )
     return columns, live, totals_h
 
 

@@ -216,6 +216,69 @@ def test_distributed_full_plan_job(job_harness, name):
     assert correct, f"{name}: {detail}"
 
 
+def test_distributed_feedback_warm_replay(job_harness):
+    """A repeat execution of the same plan shape replays every join
+    sync-free from the learned feedback (capacities, hot keys, output
+    buckets) with one batched validation at the root — and must return
+    the identical result."""
+    from radixjoin_tpu.parallel import dist_executor
+
+    _, plan = job_harness.build_plan("3b")
+    first = execute_distributed(plan).to_rows()
+    key = dist_executor._plan_key(plan)
+    assert any(k[0] == key for k in dist_executor._DIST_FEEDBACK), \
+        "cold run must learn feedback"
+    _, plan2 = job_harness.build_plan("3b")  # fresh Plan, same content key
+    assert dist_executor._plan_key(plan2) == key
+    second = execute_distributed(plan2).to_rows()
+    ok, detail = oracle.rows_equal(second, first)
+    assert ok, detail
+
+
+def test_distributed_feedback_stale_detection(mesh):
+    """Same plan shape + row counts but DIFFERENT data: the warm replay's
+    learned totals cannot match, the root check must fail, and the cold
+    rerun must still be exact."""
+    from radixjoin_tpu.dtypes import DataType
+    from radixjoin_tpu.harness import oracle as orc
+    from radixjoin_tpu.parallel import dist_executor
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import ColumnarTable, HostTable
+
+    def make(bkeys, pkeys):
+        plan = Plan()
+        tb = plan.new_input(ColumnarTable.from_host(HostTable.from_rows(
+            [[int(k), i] for i, k in enumerate(bkeys)],
+            [DataType.INT64, DataType.INT64])))
+        tp = plan.new_input(ColumnarTable.from_host(HostTable.from_rows(
+            [[int(k), i * 10] for i, k in enumerate(pkeys)],
+            [DataType.INT64, DataType.INT64])))
+        sb = plan.new_scan_node(tb, [(0, DataType.INT64), (1, DataType.INT64)])
+        sp = plan.new_scan_node(tp, [(0, DataType.INT64), (1, DataType.INT64)])
+        plan.root = plan.new_join_node(
+            True, sb, sp, 0, 0,
+            [(1, DataType.INT64), (3, DataType.INT64)])
+        return plan
+
+    rng = np.random.default_rng(9)
+    n = 600
+    p1 = make(rng.integers(0, 50, n), rng.integers(0, 50, n))
+    r1 = execute_distributed(p1, mesh=mesh)
+    ok, detail = orc.rows_equal(r1.to_rows(), orc.execute_plan_rows(p1))
+    assert ok, detail
+    key = dist_executor._plan_key(p1)
+    assert (key, p1.root) in dist_executor._DIST_FEEDBACK
+
+    # identical shape, totally different join cardinalities
+    p2 = make(rng.integers(100, 105, n), rng.integers(100, 105, n))
+    assert dist_executor._plan_key(p2) == key
+    r2 = execute_distributed(p2, mesh=mesh)
+    ok, detail = orc.rows_equal(r2.to_rows(), orc.execute_plan_rows(p2))
+    assert ok, detail
+    # the mismatch evicted the stale entries (cold rerun stores nothing)
+    assert (key, p2.root) not in dist_executor._DIST_FEEDBACK
+
+
 def test_distributed_plan_empty_and_mismatch(mesh):
     """Type-mismatch joins and empty children are empty, like the
     single-chip engine (src/execute.cpp:50, :75-83)."""

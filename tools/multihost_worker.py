@@ -154,11 +154,17 @@ def main():
         from radixjoin_tpu.parallel import DistJoinConfig
 
         config = DistJoinConfig(exchange_chunks=args.dist_chunks)
-    result = execute_distributed(plan, mesh=make_mesh(), config=config)
+    mesh = make_mesh()
+    result = execute_distributed(plan, mesh=mesh, config=config)
     actual = result.to_rows()
     expected = oracle.execute_plan_rows(plan)
     correct, detail = oracle.rows_equal(actual, expected)
     assert correct, f"rank {args.pid}: {detail}"
+    # repeat: the warm sync-free feedback replay must stay exact across
+    # the real multi-process cluster (every rank replays in lockstep)
+    warm = execute_distributed(plan, mesh=mesh, config=config).to_rows()
+    correct, detail = oracle.rows_equal(warm, expected)
+    assert correct, f"rank {args.pid} warm replay: {detail}"
 
     with open(args.out, "w") as f:
         f.write(f"OK {len(actual)}\n")
