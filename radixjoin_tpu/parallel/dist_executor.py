@@ -81,6 +81,22 @@ def _plan_key(plan: Plan) -> str:
     return eng._FeedbackStore._key(plan)
 
 
+def _fb_base_key(plan: Plan, mesh, config: DistJoinConfig) -> tuple:
+    """Learned state is only replayable under the SAME mesh and join
+    config — a different chunk count, bloom size or device count must
+    miss the cache, not silently replay the old configuration."""
+    return (_plan_key(plan), id(mesh), dataclasses.astuple(config))
+
+
+_FEEDBACK_CAP = 512  # FIFO-evict beyond this many (plan, join) entries
+
+
+def _fb_store(key: tuple, info: dict) -> None:
+    if len(_DIST_FEEDBACK) >= _FEEDBACK_CAP:
+        _DIST_FEEDBACK.pop(next(iter(_DIST_FEEDBACK)))
+    _DIST_FEEDBACK[key] = info
+
+
 _F64_KEY_FN = None
 
 
@@ -227,12 +243,13 @@ def _join_node(
     if fb is not None:
         # warm replay: zero host syncs — learned hot keys, capacities and
         # output bucket; validation deferred to the plan-root batch check
+        total = int(fb["totals"].sum())
         columns, live, totals_dev, overflow_dev = distributed_join_deferred(
             kb, vb, bpl, kp, vp, ppl, mesh,
             fb["hot_keys"], fb["hot_valid"], config, fb,
+            expand=total > 0,  # learned-empty: checks only, no materialize
         )
         checks.append((totals_dev, overflow_dev, fb["totals"]))
-        total = int(fb["totals"].sum())
         if total == 0:
             return _empty_res(node.output_attrs, mesh)
     else:
@@ -262,7 +279,7 @@ def _join_node(
         if fb_key is not None:
             info.update(hot_keys=hot_keys, hot_valid=hot_valid,
                         totals=np.asarray(totals))
-            _DIST_FEEDBACK[fb_key] = info
+            _fb_store(fb_key, info)
         total = int(np.sum(totals))  # host array: fetched by the ladder
         if total == 0:
             return _empty_res(node.output_attrs, mesh)
@@ -293,7 +310,7 @@ def execute_distributed(
     mesh = mesh or make_mesh()
     config = config or DistJoinConfig()
 
-    key = _plan_key(plan) if config.feedback else None
+    key = _fb_base_key(plan, mesh, config) if config.feedback else None
     checks: list = []
     results: Dict[int, _NodeRes] = {}
     for idx in plan.topo_order():
@@ -305,7 +322,7 @@ def execute_distributed(
                 plan, node,
                 results[node.data.left], results[node.data.right],
                 mesh, config,
-                fb_key=(key, idx) if key is not None else None,
+                fb_key=key + (idx,) if key is not None else None,
                 checks=checks,
             )
 
@@ -322,9 +339,11 @@ def execute_distributed(
         )
         if not ok:
             for idx in plan.topo_order():
-                _DIST_FEEDBACK.pop((key, idx), None)
-            cold = dataclasses.replace(config, feedback=False)
-            return execute_distributed(plan, mesh=mesh, config=cold)
+                _DIST_FEEDBACK.pop(key + (idx,), None)
+            # rerun with feedback still on: every entry for this plan is
+            # gone, so the rerun takes the cold path — and re-learns,
+            # sparing the NEXT execution a third full cold pass
+            return execute_distributed(plan, mesh=mesh, config=config)
 
     root = results[plan.root]
     root_node = plan.nodes[plan.root]

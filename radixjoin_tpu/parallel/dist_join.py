@@ -407,6 +407,7 @@ def distributed_join_deferred(
     hot_valid: np.ndarray,
     config: DistJoinConfig,
     info: dict,
+    expand: bool = True,
 ):
     """Both phases with ZERO host syncs: capacities, hot keys and the
     output bucket come from a previous (cold) run's feedback (``info`` as
@@ -416,7 +417,8 @@ def distributed_join_deferred(
     must validate the device check arrays later (batched, e.g. once at
     the plan root): the result is exact iff every overflow count is zero
     AND the fetched totals equal the learned totals the caller planned
-    with; otherwise rerun cold."""
+    with; otherwise rerun cold. ``expand=False`` skips the materialize
+    phase (caller only needs the checks — e.g. a learned-empty join)."""
     ndev = mesh.devices.size
     bnames, pnames = tuple(bpl_d), tuple(ppl_d)
     hk, hv = np.asarray(hot_keys), np.asarray(hot_valid)
@@ -428,6 +430,8 @@ def distributed_join_deferred(
     )
     groups_dev, totals, overflow = ex_fn(
         kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
+    if not expand:
+        return None, None, totals, overflow
     mat_fn = _phase_fn(
         "expand", mesh, ndev, info["cap_b"], info["cap_p"],
         info["hot_cap"], bnames, pnames, info["s_pad"], **common,

@@ -266,17 +266,19 @@ def test_distributed_feedback_stale_detection(mesh):
     r1 = execute_distributed(p1, mesh=mesh)
     ok, detail = orc.rows_equal(r1.to_rows(), orc.execute_plan_rows(p1))
     assert ok, detail
-    key = dist_executor._plan_key(p1)
-    assert (key, p1.root) in dist_executor._DIST_FEEDBACK
+    base = dist_executor._fb_base_key(p1, mesh, DistJoinConfig())
+    assert base + (p1.root,) in dist_executor._DIST_FEEDBACK
+    learned_1 = dist_executor._DIST_FEEDBACK[base + (p1.root,)]["totals"]
 
     # identical shape, totally different join cardinalities
     p2 = make(rng.integers(100, 105, n), rng.integers(100, 105, n))
-    assert dist_executor._plan_key(p2) == key
+    assert dist_executor._fb_base_key(p2, mesh, DistJoinConfig()) == base
     r2 = execute_distributed(p2, mesh=mesh)
     ok, detail = orc.rows_equal(r2.to_rows(), orc.execute_plan_rows(p2))
     assert ok, detail
-    # the mismatch evicted the stale entries (cold rerun stores nothing)
-    assert (key, p2.root) not in dist_executor._DIST_FEEDBACK
+    # the mismatch evicted the stale entries and the cold rerun re-learned
+    learned_2 = dist_executor._DIST_FEEDBACK[base + (p2.root,)]["totals"]
+    assert not np.array_equal(learned_1, learned_2)
 
 
 def test_distributed_plan_empty_and_mismatch(mesh):

@@ -80,15 +80,15 @@ def run_chunk(start: int, count: int, modes: str) -> int:
                 # (maximum false-positive pressure on the semi-join filter)
                 cfg = (DistJoinConfig(exchange_chunks=3, bloom_max_bits=8192)
                        if mode == "dist_chunked" else None)
-
-                def run_dist():
-                    # run twice: the repeat exercises the sync-free
-                    # cardinality-feedback replay + root validation
-                    execute_distributed(plan, mesh=make_mesh(), config=cfg)
-                    return execute_distributed(
-                        plan, mesh=make_mesh(), config=cfg).to_rows()
-
-                check(mode, run_dist)
+                # one mesh for both runs (feedback + phase caches key on
+                # the mesh identity); cold AND warm results each go
+                # through the oracle — the second run replays sync-free
+                # from the first's learned feedback
+                mesh_d = make_mesh()
+                check(mode + "_cold", lambda: execute_distributed(
+                    plan, mesh=mesh_d, config=cfg).to_rows())
+                check(mode, lambda: execute_distributed(
+                    plan, mesh=mesh_d, config=cfg).to_rows())
                 continue
             os.environ["RJT_EXEC_MODE"] = env_mode
             if budget is not None:
