@@ -181,6 +181,39 @@ def test_native_csv_parse(tmp_path):
     assert c2.values[[0, 2, 3, 4]].tolist() == [2, 7, 8, 9]
 
 
+def test_native_csv_crlf(tmp_path, monkeypatch):
+    """CRLF files must parse identically to LF files (the reference's
+    streaming parser consumes \\r\\n, src/csv_parser.cpp) — in both the
+    native parser and the pure-python fallback."""
+    path = str(tmp_path / "crlf.csv")
+    with open(path, "wb") as f:
+        f.write(b'1,alpha\r\n')
+        f.write(b'2,"quoted\r\nnewline"\r\n')
+        f.write(b',beta\r\n')
+    types = [DataType.INT32, DataType.VARCHAR]
+    expected = [
+        (1, b"alpha"),
+        (2, b"quoted\r\nnewline"),  # quoted CRLF is data, not a row break
+    ]
+
+    from radixjoin_tpu.dtypes import NULL
+
+    table = ingest.parse_csv(path, types)
+    assert table.num_rows == 3
+    rows = table.to_rows()
+    assert [tuple(r) for r in rows[:2]] == expected
+    assert rows[2] == (NULL, b"beta")  # empty field -> NULL int
+
+    import types as _types
+
+    monkeypatch.setattr(
+        ingest, "native",
+        _types.SimpleNamespace(parse_csv=lambda *a: None),
+    )
+    table_py = ingest.parse_csv(path, types)
+    assert table_py.to_rows() == rows
+
+
 def test_csv_roundtrip_via_write(tmp_path):
     from radixjoin_tpu.dtypes import NULL
 
