@@ -175,6 +175,11 @@ def main(argv=None):
                         metavar="BITS",
                         help="with --distributed: cap the build-side Bloom "
                              "semi-join bitmap (0 disables; default 2^18)")
+    parser.add_argument("--dist-feedback", choices=["on", "off"],
+                        default=None,
+                        help="with --distributed: cardinality feedback "
+                             "(sync-free warm replay of repeat executions; "
+                             "default on)")
     parser.add_argument("--platform", choices=["cpu", "tpu", "default"],
                         default="default",
                         help="force the JAX backend. NOTE: in this "
@@ -214,7 +219,8 @@ def main(argv=None):
 
     harness = JobHarness(args.plans, source, sql_dir)
     harness.distributed = args.distributed
-    if args.dist_chunks is not None or args.dist_bloom_bits is not None:
+    if (args.dist_chunks is not None or args.dist_bloom_bits is not None
+            or args.dist_feedback is not None):
         from ..parallel import DistJoinConfig
 
         overrides = {}
@@ -222,6 +228,8 @@ def main(argv=None):
             overrides["exchange_chunks"] = args.dist_chunks
         if args.dist_bloom_bits is not None:
             overrides["bloom_max_bits"] = args.dist_bloom_bits
+        if args.dist_feedback is not None:
+            overrides["feedback"] = args.dist_feedback == "on"
         harness.dist_config = DistJoinConfig(**overrides)
 
     profile_ctx = None
@@ -261,11 +269,17 @@ def main(argv=None):
                   f"over {len(names)} queries")
         for name in ([] if args.batch else names):
             best = None
+            correct, detail = True, ""
             for _ in range(max(1, args.repeat)):
-                result, runtime_ms, correct, detail = harness.run_query(
+                result, runtime_ms, rep_ok, rep_detail = harness.run_query(
                     name, verify=args.verify, sqlite_oracle=sqlite_oracle
                 )
                 best = runtime_ms if best is None else min(best, runtime_ms)
+                if args.verify and not rep_ok:
+                    # EVERY repeat must verify (repeats exercise warm
+                    # paths like the distributed feedback replay; a cold
+                    # failure must not be masked by a passing warm run)
+                    correct, detail = False, rep_detail
             total_ms += best
             status = ""
             if args.verify:
