@@ -229,8 +229,9 @@ def main():
     _partial["stage"] = "datagen"
     t0 = time.perf_counter()
     queries = datagen.load_job_queries(SQL_DIR, names_all)
-    gen = datagen.SyntheticIMDB(scale=scale, seed=0, queries=queries)
-    tables = gen.generate()
+    tables = datagen.generate_cached(
+        scale, 0, queries, cache_dir=os.path.join(REPO, ".bench_cache")
+    )
     log(f"bench: synthetic IMDB generated in {time.perf_counter()-t0:.1f}s "
         f"({sum(t.num_rows for t in tables.values())} rows)")
 

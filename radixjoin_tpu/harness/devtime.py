@@ -1,0 +1,407 @@
+"""Device-time roofline harness (v2 methodology).
+
+The v1 harness (:mod:`.roofline`) timed host wall-clock through the
+tunneled runtime, whose ~27 ms per-fetch RPC floor dominates sub-50 ms
+kernels — at 1M rows it measured the link, not the chip. This module
+measures **pure device time** with zero profiler dependencies:
+
+  each kernel is wrapped in ``jit(fori_loop(0, K, step, carry))`` for two
+  iteration counts K_lo < K_hi; the per-iteration device time is the
+  *slope* ``(t(K_hi) - t(K_lo)) / (K_hi - K_lo)``, which cancels every
+  constant cost — dispatch, tunnel RTT, result fetch — exactly.
+
+Each ``step`` threads a genuine data dependency through the carry (a
+data-dependent ``where`` on a scalar derived from the kernel's outputs)
+so XLA can neither hoist the kernel out of the loop nor dead-code any
+output stage. The dependency consumes outputs through ops XLA cannot
+narrow (full-array reductions of the final outputs are counted in
+``min_bytes`` where they add a physical pass).
+
+``min_bytes`` is the algorithmic minimum traffic (each input element read
+once, each output written once), so ``pct_roofline`` honestly charges
+sort-based kernels for their extra passes. Speed of light is the chip's
+HBM bandwidth (:mod:`radixjoin_tpu.hardware`): join kernels do no
+matmuls, so they sit on the memory-bound side of the roofline.
+
+Run: ``python -m radixjoin_tpu.harness.devtime [--size N] [--json PATH]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import hardware
+from ..ops import join as join_ops
+
+
+@dataclasses.dataclass
+class Measurement:
+    kernel: str
+    rows: int
+    device_ms: float
+    rows_per_s: float
+    min_bytes: int
+    eff_gbps: float
+    pct_roofline: float
+
+    def row(self) -> str:
+        return (
+            f"{self.kernel:<26} {self.rows:>12,} {self.device_ms:>9.3f} "
+            f"{self.rows_per_s/1e9:>8.3f}G {self.eff_gbps:>8.1f} "
+            f"{self.pct_roofline*100:>6.1f}%"
+        )
+
+
+def slope_time_ms(
+    step: Callable, carry, k_lo: int = 2, k_hi: int = 10, reps: int = 3
+) -> float:
+    """Per-iteration device ms of ``step`` via the two-point slope."""
+
+    def make(k):
+        @jax.jit
+        def run(c):
+            return jax.lax.fori_loop(0, k, lambda i, c: step(c), c)
+
+        return run
+
+    f_lo, f_hi = make(k_lo), make(k_hi)
+
+    def run_sync(f):
+        """Dispatch + REAL sync. ``block_until_ready`` under-reports on the
+        tunneled axon runtime (it can return before execution completes),
+        so sync by fetching one element of the first carry leaf — a
+        constant-cost D2H round trip that the slope cancels."""
+        out = f(carry)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1] if leaf.ndim else leaf))
+        return out
+
+    run_sync(f_lo)  # compile both programs + settle the runtime
+    run_sync(f_hi)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_sync(f_lo)
+        t1 = time.perf_counter()
+        run_sync(f_hi)
+        t2 = time.perf_counter()
+        samples.append(((t2 - t1) - (t1 - t0)) / (k_hi - k_lo))
+    return float(np.median(samples) * 1e3)
+
+
+def _chain(arr, scalar):
+    """Data-dependence glue: returns ``arr`` unchanged at runtime, but in
+    a way XLA cannot fold (the predicate is data-dependent)."""
+    return jnp.where(scalar >= jnp.array(-1, scalar.dtype), arr, arr + 1)
+
+
+def _consume(*arrays):
+    """Scalar that depends on every element of every array (one physical
+    read pass per array — charged in min_bytes by the cases that use it
+    on arrays not already reduced inside the kernel)."""
+    total = jnp.zeros((), jnp.int64)
+    for a in arrays:
+        if a.dtype == jnp.bool_:
+            a = a.astype(jnp.int32)
+        total = total + jnp.sum(a.astype(jnp.int64) & 0xFF)
+    return total
+
+
+def _measure(name, rows, ms, min_bytes, spec) -> Measurement:
+    eff = min_bytes / (ms * 1e-3) / 1e9 if ms > 0 else float("inf")
+    return Measurement(
+        name, rows, ms, rows / (ms * 1e-3) if ms > 0 else float("inf"),
+        min_bytes, eff, eff / spec.hbm_gbps,
+    )
+
+
+def _inputs(n: int, dtype=np.int32, dup: int = 4, seed: int = 0):
+    """Standard join workload: build = n/dup rows, probe = n rows, keys
+    uniform over the build id range (every probe matches ~1 build row)."""
+    rng = np.random.default_rng(seed)
+    b = n // dup
+    bk = jnp.asarray(rng.permutation(b).astype(dtype))  # unique build keys
+    bv = jnp.ones(b, bool)
+    pk = jnp.asarray(rng.integers(0, b, n).astype(dtype))
+    pv = jnp.ones(n, bool)
+    return b, bk, bv, pk, pv
+
+
+def _dup_inputs(n: int, dtype=np.int32, dup: int = 4, seed: int = 0):
+    """Duplicate-capable build side: keys uniform over b/2 distinct values
+    (~2 builds per key, fan-out 2)."""
+    rng = np.random.default_rng(seed)
+    b = n // dup
+    bk = jnp.asarray(rng.integers(0, b // 2, b).astype(dtype))
+    bv = jnp.ones(b, bool)
+    pk = jnp.asarray(rng.integers(0, b // 2, n).astype(dtype))
+    pv = jnp.ones(n, bool)
+    return b, bk, bv, pk, pv
+
+
+# ---------------------------------------------------------------------------
+# Cases. Each returns (step, carry, rows, min_bytes).
+# ---------------------------------------------------------------------------
+
+
+def case_copy(n: int):
+    """Bandwidth baseline: one read + one write pass of i32 (xor chain —
+    ``x + 1`` per iteration would constant-fold across the loop)."""
+    x = jnp.arange(n, dtype=jnp.int32)
+
+    def step(c):
+        (x,) = c
+        y = x ^ (x >> 1)
+        return (_chain(y, y[0]),)
+
+    return step, (x,), n, n * 4 * 2
+
+
+def case_gather(n: int):
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    idx = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
+
+    def step(c):
+        vals, idx = c
+        out = vals[idx]
+        return _chain(vals, out[0]), idx
+
+    # read vals + idx, write out (random-access reads cost more physically)
+    return step, (vals, idx), n, n * 4 * 3
+
+
+def case_scatter_add(n: int):
+    """Histogram scatter-add over a 2^20 window (the dev_csr build step)."""
+    rng = np.random.default_rng(0)
+    w = 1 << 20
+    idx = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
+
+    def step(c):
+        (idx,) = c
+        hist = jnp.zeros(w, jnp.int32).at[idx].add(1, mode="drop")
+        return (_chain(idx, hist[0]),)
+
+    return step, (idx,), n, n * 4 + w * 4
+
+
+def case_sort_kv(n: int):
+    rng = np.random.default_rng(0)
+    keys = jnp.asarray(rng.integers(0, 1 << 31, n).astype(np.int32))
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def step(c):
+        keys, iota = c
+        ks, vs = jax.lax.sort((keys, iota), num_keys=1)
+        return _chain(keys, ks[0] + vs[0]), iota
+
+    return step, (keys, iota), n, n * 4 * 4
+
+
+def case_join_merge(n: int):
+    """Production general join, count phase (single co-sort + scans)."""
+    _b, bk, bv, pk, pv = _dup_inputs(n)
+
+    def step(c):
+        bk, bv, pk, pv = c
+        ids_s, run_start, counts, offsets, total = join_ops.join_merge_impl(
+            bk, bv, pk, pv
+        )
+        s = total + _consume(ids_s, run_start, offsets)
+        return _chain(bk, s), bv, pk, pv
+
+    b = bk.shape[0]
+    min_bytes = (b + n) * (4 + 1) + n * 8 * 2
+    return step, (bk, bv, pk, pv), n, min_bytes
+
+
+def case_join_merge_e2e(n: int):
+    """General join end-to-end: merge count + expand + 2-col materialize
+    (fan-out ~2: output ~2n rows)."""
+    b, bk, bv, pk, pv = _dup_inputs(n)
+    rng = np.random.default_rng(1)
+    bpay = jnp.asarray(rng.integers(0, 1 << 30, b).astype(np.int32))
+    ppay = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    s_pad = join_ops.bucket_size(2 * n + n // 2)
+
+    def step(c):
+        bk, bv, pk, pv, bpay, ppay = c
+        ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
+            bk, bv, pk, pv
+        )
+        bidx, pidx, live = join_ops.join_expand_merge_impl(
+            ids_s, run_start, offsets, total, s_pad
+        )
+        ob, op = bpay[bidx], ppay[pidx]
+        s = total + _consume(ob, op, live)
+        return _chain(bk, s), bv, pk, pv, bpay, ppay
+
+    out_rows = 2 * n  # expected fan-out
+    min_bytes = (b + n) * (4 + 1 + 4) + out_rows * (4 + 4 + 1)
+    return step, (bk, bv, pk, pv, bpay, ppay), out_rows, min_bytes
+
+
+def case_join_dev_csr(n: int):
+    """Device-built CSR general join over a dense window, end-to-end."""
+    b, bk, bv, pk, pv = _dup_inputs(n)
+    rng = np.random.default_rng(1)
+    bpay = jnp.asarray(rng.integers(0, 1 << 30, b).astype(np.int32))
+    ppay = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    r_pad = join_ops.bucket_size(max(b // 2, 128))
+    s_pad = join_ops.bucket_size(2 * n + n // 2)
+    base = jnp.zeros((), jnp.int64)
+
+    def step(c):
+        bk, bv, pk, pv, bpay, ppay = c
+        bidx, pidx, live, total = join_ops.join_dev_csr_impl(
+            bk, bv, pk, pv, base, r_pad, s_pad
+        )
+        ob, op = bpay[bidx], ppay[pidx]
+        s = total + _consume(ob, op, live)
+        return _chain(bk, s), bv, pk, pv, bpay, ppay
+
+    out_rows = 2 * n
+    min_bytes = (b + n) * (4 + 1 + 4) + out_rows * (4 + 4 + 1)
+    return step, (bk, bv, pk, pv, bpay, ppay), out_rows, min_bytes
+
+
+def case_unique_scatter(n: int):
+    """FK->PK scatter-table join end-to-end (probe-shaped output)."""
+    b, bk, bv, pk, pv = _inputs(n)
+    rng = np.random.default_rng(1)
+    bpay = jnp.asarray(rng.integers(0, 1 << 30, b).astype(np.int32))
+    r_pad = join_ops.bucket_size(b)
+    base = jnp.zeros((), jnp.int64)
+
+    def step(c):
+        bk, bv, pk, pv, bpay = c
+        bidx, found, total = join_ops.join_unique_scatter_impl(
+            bk, bv, pk, pv, base, r_pad
+        )
+        ob = bpay[bidx]
+        s = total + _consume(ob, found)
+        return _chain(bk, s), bv, pk, pv, bpay
+
+    min_bytes = (b + n) * (4 + 1) + b * 4 + n * (4 + 1) + r_pad * 4
+    return step, (bk, bv, pk, pv, bpay), n, min_bytes
+
+
+def case_join_csr(n: int):
+    """Host-pregrouped CSR join end-to-end (build side = base scan)."""
+    b, bk, bv, pk, pv = _dup_inputs(n)
+    rng = np.random.default_rng(1)
+    bpay = jnp.asarray(rng.integers(0, 1 << 30, b).astype(np.int32))
+    ppay = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    # host-side CSR build (mirrors HostColumn.csr_index)
+    bk_np = np.asarray(bk)
+    w = join_ops.bucket_size(b // 2)
+    counts_w = jnp.asarray(np.bincount(bk_np, minlength=w).astype(np.int32))
+    starts_w = jnp.asarray(
+        (np.cumsum(np.asarray(counts_w)) - np.asarray(counts_w)).astype(np.int32)
+    )
+    grouped = jnp.asarray(
+        np.argsort(bk_np, kind="stable").astype(np.int32)
+    )
+    grouped = jnp.pad(grouped, (0, join_ops.bucket_size(b) - b))
+    base = jnp.zeros((), jnp.int64)
+    s_pad = join_ops.bucket_size(2 * n + n // 2)
+
+    def step(c):
+        counts_w, starts_w, grouped, pk, pv, bpay, ppay = c
+        bidx, pidx, live, total = join_ops.join_csr_impl(
+            counts_w, starts_w, grouped, pk, pv, base, s_pad
+        )
+        ob, op = bpay[bidx], ppay[pidx]
+        s = total + _consume(ob, op, live)
+        return counts_w, starts_w, _chain(grouped, s), pk, pv, bpay, ppay
+
+    out_rows = 2 * n
+    min_bytes = n * (4 + 1) + w * 8 + b * 4 + out_rows * (4 + 4 + 1)
+    return (
+        step,
+        (counts_w, starts_w, grouped, pk, pv, bpay, ppay),
+        out_rows,
+        min_bytes,
+    )
+
+
+CASES: Dict[str, Callable] = {
+    "copy": case_copy,
+    "gather": case_gather,
+    "scatter_add": case_scatter_add,
+    "sort_kv": case_sort_kv,
+    "join_merge": case_join_merge,
+    "join_merge_e2e": case_join_merge_e2e,
+    "join_dev_csr": case_join_dev_csr,
+    "join_csr": case_join_csr,
+    "unique_scatter": case_unique_scatter,
+}
+
+
+def run(
+    size: int = 1 << 24,
+    reps: int = 3,
+    cases: Optional[List[str]] = None,
+    spec: Optional[hardware.ChipSpec] = None,
+    k_lo: int = 2,
+    k_hi: int = 10,
+) -> List[Measurement]:
+    spec = spec or hardware.detect()
+    out = []
+    for name in cases or list(CASES):
+        step, carry, rows, min_bytes = CASES[name](size)
+        ms = slope_time_ms(step, carry, k_lo, k_hi, reps)
+        out.append(_measure(name, rows, ms, min_bytes, spec))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--size", type=int, default=1 << 24, help="probe rows")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--k-lo", type=int, default=2)
+    ap.add_argument("--k-hi", type=int, default=10)
+    ap.add_argument("--cases", type=str, default=None, help="comma list")
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    spec = hardware.detect()
+    print(
+        f"chip: {spec.name}  HBM {spec.hbm_gbps:.0f} GB/s  "
+        f"(device {jax.devices()[0]})  n={args.size:,}"
+    )
+    names = args.cases.split(",") if args.cases else None
+    results = []
+    print(f"{'kernel':<26} {'rows':>12} {'dev_ms':>9} {'rows/s':>9} "
+          f"{'GB/s':>8} {'%roof':>7}")
+    for name in names or list(CASES):
+        step, carry, rows, min_bytes = CASES[name](args.size)
+        ms = slope_time_ms(step, carry, args.k_lo, args.k_hi, args.reps)
+        m = _measure(name, rows, ms, min_bytes, spec)
+        results.append(m)
+        print(m.row(), flush=True)
+    if args.json:
+        doc = {
+            "methodology": "fori_loop slope (device time; constant "
+                           "dispatch/RTT cancels)",
+            "chip": spec.name,
+            "hbm_gbps": spec.hbm_gbps,
+            "size": args.size,
+            "k": [args.k_lo, args.k_hi],
+            "results": [dataclasses.asdict(m) for m in results],
+        }
+        with open(args.json, "w") as f:
+            json.dump(doc, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,14 +56,18 @@ class TableSource:
 
     def provider(self, entity: TableEntity, attributes, filt) -> ColumnarTable:
         name = entity.table
+        # lazy=True: the engine computes on the HostTable memo, so the
+        # page encode of plan inputs is deferred until something actually
+        # reads the bytes — at scale 1.0 (~60M rows) eager per-query
+        # encodes would dominate harness wall-clock on this 1-core host
         if filt is None:
             cached = self._unfiltered_cache.get(name)
             if cached is None:
-                cached = ColumnarTable.from_host(self.table(name))
+                cached = ColumnarTable.from_host(self.table(name), lazy=True)
                 self._unfiltered_cache[name] = cached
             return cached.copy()
         filtered = ingest.filter_table(self.table(name), filt)
-        return ColumnarTable.from_host(filtered)
+        return ColumnarTable.from_host(filtered, lazy=True)
 
 
 class JobHarness:

@@ -273,17 +273,37 @@ class HostColumn:
         return HostColumn.varchar(heap, ends, self.valid[indices])
 
 
-@dataclasses.dataclass
 class Column:
-    """A paged column: (n_pages, PAGE_SIZE) uint8 array."""
+    """A paged column: (n_pages, PAGE_SIZE) uint8 array.
 
-    type: DataType
-    pages: np.ndarray
+    ``pages`` may be passed as a zero-arg callable: the page encode then
+    runs lazily on first access (and is memoized). The engine computes on
+    the decoded ``HostTable`` memo, so plan inputs built from host tables
+    (harness/bench path) never pay the encode unless something actually
+    reads the bytes — the byte format itself stays exact and fully tested
+    (tests/test_page_codec.py)."""
 
-    def __post_init__(self):
-        if self.pages is None:
-            self.pages = np.zeros((0, PAGE_SIZE), dtype=np.uint8)
-        assert self.pages.ndim == 2 and self.pages.shape[1] == PAGE_SIZE
+    __slots__ = ("type", "_pages")
+
+    def __init__(self, type: DataType, pages):
+        self.type = type
+        if pages is None:
+            pages = np.zeros((0, PAGE_SIZE), dtype=np.uint8)
+        if not callable(pages):
+            assert pages.ndim == 2 and pages.shape[1] == PAGE_SIZE
+        self._pages = pages
+
+    @property
+    def pages(self) -> np.ndarray:
+        if callable(self._pages):
+            pages = self._pages()
+            assert pages.ndim == 2 and pages.shape[1] == PAGE_SIZE
+            self._pages = pages
+        return self._pages
+
+    @pages.setter
+    def pages(self, value: np.ndarray) -> None:
+        self._pages = value
 
 
 @dataclasses.dataclass
@@ -299,27 +319,44 @@ class ColumnarTable:
     )
 
     def copy(self) -> "ColumnarTable":
+        # not-yet-encoded lazy columns share the encode thunk (the engine
+        # treats pages as immutable; the deep copy below exists for
+        # reference cache-hit parity, build_table.cpp:121-133)
         return ColumnarTable(
             self.num_rows,
-            [Column(c.type, c.pages.copy()) for c in self.columns],
+            [
+                Column(
+                    c.type,
+                    c._pages if callable(c._pages) else c.pages.copy(),
+                )
+                for c in self.columns
+            ],
             _host=self._host,  # pages are copied bit-identical
         )
 
     # -- conversions ---------------------------------------------------------
 
     @staticmethod
-    def from_host(table: "HostTable") -> "ColumnarTable":
+    def from_host(table: "HostTable", lazy: bool = False) -> "ColumnarTable":
         # column-parallel page encode (reference: to_columnar drives
         # per-column save_page tasks through filter_tp,
         # build_table.cpp:438-681); the codec is ctypes -> GIL-free
-        def enc(c: "HostColumn") -> Column:
+        def enc_pages(c: "HostColumn") -> np.ndarray:
             if c.dtype is DataType.VARCHAR:
-                pages = page_codec.encode_varchar_heap(c.heap, c.ends, c.valid)
-            else:
-                pages = page_codec.encode_fixed(c.values, c.valid, c.dtype)
-            return Column(c.dtype, pages)
+                return page_codec.encode_varchar_heap(c.heap, c.ends, c.valid)
+            return page_codec.encode_fixed(c.values, c.valid, c.dtype)
 
-        cols = host_pool.parallel_map(enc, table.columns)
+        if lazy:
+            import functools
+
+            cols = [
+                Column(c.dtype, functools.partial(enc_pages, c))
+                for c in table.columns
+            ]
+            return ColumnarTable(table.num_rows, cols, _host=table)
+        cols = host_pool.parallel_map(
+            lambda c: Column(c.dtype, enc_pages(c)), table.columns
+        )
         return ColumnarTable(table.num_rows, cols, _host=table)
 
     def to_host(self) -> "HostTable":
