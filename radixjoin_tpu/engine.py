@@ -482,6 +482,63 @@ def _detect_unique_joins(plan: Plan) -> frozenset:
     return frozenset(unique)
 
 
+import weakref
+
+#: host columns carrying a ``_dev_memo`` upload memo and plans carrying a
+#: ``_fused_struct_cache`` — everything that pins device arrays across
+#: queries. At large scales (full-size IMDB) the cumulative pinned set can
+#: exceed HBM mid-suite; :func:`clear_device_caches` releases it all so an
+#: OOM'd query can retry with a cold cache (re-uploading only what it
+#: actually touches).
+_DEVICE_CACHE_COLS: dict = {}  # id -> weakref (dataclasses: unhashable)
+_DEVICE_CACHE_PLANS: dict = {}
+
+
+def _register(registry: dict, obj) -> None:
+    key = id(obj)
+    if key not in registry:
+        registry[key] = weakref.ref(obj, lambda _r, k=key: registry.pop(k, None))
+
+
+def register_device_cache_col(hcol) -> None:
+    _register(_DEVICE_CACHE_COLS, hcol)
+
+
+def register_device_cache_plan(plan) -> None:
+    _register(_DEVICE_CACHE_PLANS, plan)
+
+
+def clear_device_caches() -> None:
+    """Drop every process-wide device-array cache (upload memos, fused
+    plan structures, VARCHAR remap memo). Called on RESOURCE_EXHAUSTED;
+    callers retry and repopulate lazily."""
+    import gc
+
+    from .plan import fused as fz
+
+    for ref in list(_DEVICE_CACHE_COLS.values()):
+        hcol = ref()
+        if hcol is None:
+            continue
+        memo = getattr(hcol, "_dev_memo", None)
+        if memo:
+            memo.clear()
+        if getattr(hcol, "_csr_dev_memo", None) is not None:
+            object.__setattr__(hcol, "_csr_dev_memo", None)
+    for ref in list(_DEVICE_CACHE_PLANS.values()):
+        plan = ref()
+        if plan is not None:
+            plan._fused_struct_cache = None
+    fz._REMAP_MEMO.clear()
+    fz._REMAP_PIN.clear()
+    gc.collect()
+
+
+def _is_oom(err: BaseException) -> bool:
+    s = str(err)
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+
+
 def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
     """Sort-free whole-plan fused execution (plan/fused.py): one XLA
     program per query over the shared per-column upload memo, exact
@@ -490,6 +547,8 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
     import time
 
     from .plan import executor as _exec
+
+    register_device_cache_plan(plan)
 
     gen = _fused_attempts(plan, context)
     stats = {"dispatch_ms": 0.0, "fetch_ms": 0.0, "rounds": 0}
@@ -838,34 +897,60 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
     plan.validate()
     budget = _hbm_budget()
     mode = os.environ.get("RJT_EXEC_MODE", "auto")
-    host = None
-    if _estimate_device_bytes(plan) > budget:
-        # working set exceeds device HBM: host-staged multi-pass radix
-        host = _execute_host_partitioned(plan, budget_bytes=budget // 8)
-    elif mode in ("auto", "fused"):
-        # default: one sort-free XLA program per query (plan/fused.py).
-        # Benched fastest once warm (3747 ms JOB suite vs 4435 ms for the
-        # wave executor — one dispatch burst + one bounded fetch per
-        # query); 113/113 exact vs dual oracles in this mode.
-        host = _execute_fused(plan, context)
-        if host is None:
-            # VARCHAR join keys can't fuse: the shape-shared executor is
-            # the fast fallback (it handles dictionary unification)
+
+    def _run_on_device():
+        host = None
+        if mode in ("auto", "fused"):
+            # default: one sort-free XLA program per query (plan/fused.py).
+            # Benched fastest once warm (3747 ms JOB suite vs 4435 ms for
+            # the wave executor — one dispatch burst + one bounded fetch
+            # per query); 113/113 exact vs dual oracles in this mode.
+            host = _execute_fused(plan, context)
+            if host is None:
+                # VARCHAR join keys can't fuse: the shape-shared executor
+                # is the fast fallback (it handles dictionary unification)
+                from .plan import executor
+
+                host = executor.execute_shared(
+                    plan, _detect_unique_joins(plan)
+                )
+        elif mode == "stepwise":
+            host = device_table_to_host(execute_device(plan, context))
+        else:
+            # RJT_EXEC_MODE=shared: shape-shared per-operator kernels
+            # reused across queries — lowest cold-start compile bill (a
+            # handful of shared programs instead of one per query)
             from .plan import executor
 
             host = executor.execute_shared(plan, _detect_unique_joins(plan))
-    elif mode == "stepwise":
-        host = device_table_to_host(execute_device(plan, context))
-    else:
-        # RJT_EXEC_MODE=shared: shape-shared per-operator kernels reused
-        # across queries — lowest cold-start compile bill (a handful of
-        # shared programs instead of one per query)
-        from .plan import executor
+        if host is None:
+            dev = execute_device(plan, context)
+            host = device_table_to_host(dev)
+        return host
 
-        host = executor.execute_shared(plan, _detect_unique_joins(plan))
-    if host is None:
-        dev = execute_device(plan, context)
-        host = device_table_to_host(dev)
+    if _estimate_device_bytes(plan) > budget:
+        # working set exceeds device HBM: host-staged multi-pass radix
+        host = _execute_host_partitioned(plan, budget_bytes=budget // 8)
+    else:
+        try:
+            host = _run_on_device()
+        except Exception as err:  # noqa: BLE001 - filtered to OOM below
+            if not _is_oom(err):
+                raise
+            # cumulative cross-query pinned arrays exceeded HBM: drop
+            # every device cache and retry this query cold; if the query
+            # alone still cannot fit, stream it through the host-staged
+            # multi-pass radix executor
+            clear_device_caches()
+            try:
+                host = _run_on_device()
+            except Exception as err2:  # noqa: BLE001
+                if not _is_oom(err2):
+                    raise
+                clear_device_caches()
+                host = _execute_host_partitioned(
+                    plan, budget_bytes=budget // 8
+                )
     return _encode_result(host)
 
 
@@ -915,6 +1000,12 @@ def execute_many(
             req = next(gen)
         except StopIteration as stop:
             _finish(idx, stop.value)
+            return
+        except Exception as err:  # noqa: BLE001 - OOM only
+            if not _is_oom(err):
+                raise
+            clear_device_caches()
+            fallbacks.append(idx)  # retried via execute()'s OOM ladder
             return
         live[idx] = (gen, _exec.pack_bundle(req))
 
@@ -976,6 +1067,12 @@ def execute_many(
                 req = gen.send(fetched)
             except StopIteration as stop:
                 _finish(idx, stop.value)
+                continue
+            except Exception as err:  # noqa: BLE001 - OOM only
+                if not _is_oom(err):
+                    raise
+                clear_device_caches()
+                fallbacks.append(idx)
                 continue
             live[idx] = (gen, _exec.pack_bundle(req))
     for idx in fallbacks:  # a generator declined after dispatch (rare)

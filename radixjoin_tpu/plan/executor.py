@@ -207,6 +207,9 @@ def _csr_device(hcol):
     """Upload memo for a column's CSR index: one transfer per process."""
     dev = getattr(hcol, "_csr_dev_memo", None)
     if dev is None:
+        from .. import engine as _eng
+
+        _eng.register_device_cache_col(hcol)  # OOM-recovery eviction hook
         idx = hcol.csr_index()
         if idx is None:
             dev = (None,)
@@ -782,6 +785,7 @@ def _device_column_cached(eng, hcol, pad: int):
     if memo is None:
         memo = {}
         object.__setattr__(hcol, "_dev_memo", memo)
+        eng.register_device_cache_col(hcol)  # OOM-recovery eviction hook
     dev = memo.get(pad)
     if dev is None:
         dev = eng.host_column_to_device(hcol, pad)
