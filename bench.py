@@ -38,7 +38,7 @@ def log(msg):
 
 
 _partial = {"per_query": {}, "stage": "init", "result_rows": 0,
-            "backend": "unknown"}
+            "backend": "unknown", "stage_totals": {}}
 
 
 def _emit(total_ms, scale, n_queries, partial=False):
@@ -54,6 +54,13 @@ def _emit(total_ms, scale, n_queries, partial=False):
     }
     if "batch_wall_ms" in _partial:
         detail["batch_wall_ms"] = _partial["batch_wall_ms"]
+    if _partial["stage_totals"]:
+        # suite-wide stage split (best pass): how much of the serial
+        # total is program dispatch vs result fetch (the tunnel's ~27 ms
+        # RPC floor rides in fetch_ms) vs host decode — VERDICT r1 #9
+        detail["stage_split_ms"] = {
+            k: round(v, 1) for k, v in _partial["stage_totals"].items()
+        }
     if partial:
         detail["partial"] = f"watchdog fired during {_partial['stage']}"
     print(json.dumps({
@@ -278,14 +285,25 @@ def main():
     for it in range(max(1, repeat)):
         _partial["stage"] = f"pass {it}"
         t_iter = time.perf_counter()
+        stage_totals: dict = {}
         for name in names:
             t0 = time.perf_counter()
             result = execute(plans[name], harness.context)
             dt = (time.perf_counter() - t0) * 1e3
             prev = per_query.get(name)
             per_query[name] = dt if prev is None else min(prev, dt)
+            for k, v in (getattr(plans[name], "_last_exec_stats", None)
+                         or {}).items():
+                if isinstance(v, (int, float)):
+                    stage_totals[k] = stage_totals.get(k, 0.0) + v
             if it == 0 and warm_threads <= 0:
                 _partial["result_rows"] += result.num_rows
+        if not _partial["stage_totals"] or (
+            sum(v for k, v in stage_totals.items() if k.endswith("_ms"))
+            < sum(v for k, v in _partial["stage_totals"].items()
+                  if k.endswith("_ms"))
+        ):
+            _partial["stage_totals"] = stage_totals
         log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s")
 
     # Bonus record: the same suite as ONE execute_many() batch

@@ -98,6 +98,57 @@ def slope_time_ms(
     return float(np.median(samples) * 1e3)
 
 
+def measure_floor_ms(reps: int = 7) -> float:
+    """Constant per-call overhead of the runtime: dispatch + tunnel RTT +
+    result sync on a trivial jitted program. Subtracted by
+    :func:`single_time_ms`."""
+    tiny = jnp.arange(8, dtype=jnp.int32)
+
+    @jax.jit
+    def ident(x):
+        return x ^ 1
+
+    def once():
+        t0 = time.perf_counter()
+        out = ident(tiny)
+        np.asarray(jax.device_get(out.ravel()[:1]))
+        return time.perf_counter() - t0
+
+    once()  # compile
+    return float(np.median([once() for _ in range(reps)]) * 1e3)
+
+
+def single_time_ms(step, carry, reps: int = 5,
+                   floor_ms: Optional[float] = None) -> float:
+    """Device time of ONE ``step`` call: wall-clock through a full sync
+    minus the measured constant floor.
+
+    The fori_loop slope (:func:`slope_time_ms`) is exact but its
+    while-loop wrapper makes sort/scan-heavy join programs pathologically
+    slow to compile on the remote-compile backend (~15 min per program at
+    16M, measured 2026-08-19) — two programs per case is unusable. At
+    multi-ms kernel sizes the constant floor (~27 ms RPC) is small
+    relative to the kernel, so single-shot floor-subtraction is accurate
+    to a few percent; use sizes >= 4M rows with this mode."""
+    if floor_ms is None:
+        floor_ms = measure_floor_ms()
+    f = jax.jit(step)
+
+    def once():
+        t0 = time.perf_counter()
+        out = f(carry)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1] if leaf.ndim else leaf))
+        return time.perf_counter() - t0
+
+    once()  # compile + settle
+    once()
+    return max(
+        float(np.median([once() for _ in range(reps)]) * 1e3) - floor_ms,
+        1e-3,
+    )
+
+
 def _chain(arr, scalar):
     """Data-dependence glue: returns ``arr`` unchanged at runtime, but in
     a way XLA cannot fold (the predicate is data-dependent)."""
@@ -372,12 +423,21 @@ def main(argv=None):
     ap.add_argument("--k-hi", type=int, default=10)
     ap.add_argument("--cases", type=str, default=None, help="comma list")
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument(
+        "--mode", choices=("slope", "single"), default="slope",
+        help="slope: fori_loop two-point slope (exact, but sort-heavy "
+             "programs compile ~15 min each inside the loop wrapper); "
+             "single: one-call wall-clock minus measured RPC floor "
+             "(use for join cases at >= 4M rows)",
+    )
     args = ap.parse_args(argv)
 
     spec = hardware.detect()
+    floor = measure_floor_ms() if args.mode == "single" else None
     print(
         f"chip: {spec.name}  HBM {spec.hbm_gbps:.0f} GB/s  "
-        f"(device {jax.devices()[0]})  n={args.size:,}"
+        f"(device {jax.devices()[0]})  n={args.size:,}  mode={args.mode}"
+        + (f"  floor={floor:.1f}ms" if floor is not None else "")
     )
     names = args.cases.split(",") if args.cases else None
     results = []
@@ -385,18 +445,26 @@ def main(argv=None):
           f"{'GB/s':>8} {'%roof':>7}")
     for name in names or list(CASES):
         step, carry, rows, min_bytes = CASES[name](args.size)
-        ms = slope_time_ms(step, carry, args.k_lo, args.k_hi, args.reps)
+        if args.mode == "single":
+            ms = single_time_ms(step, carry, max(args.reps, 5), floor)
+        else:
+            ms = slope_time_ms(step, carry, args.k_lo, args.k_hi, args.reps)
         m = _measure(name, rows, ms, min_bytes, spec)
         results.append(m)
         print(m.row(), flush=True)
     if args.json:
         doc = {
-            "methodology": "fori_loop slope (device time; constant "
-                           "dispatch/RTT cancels)",
+            "methodology": (
+                "single-call wall-clock minus measured RPC floor"
+                if args.mode == "single"
+                else "fori_loop slope (device time; constant "
+                     "dispatch/RTT cancels)"
+            ),
             "chip": spec.name,
             "hbm_gbps": spec.hbm_gbps,
             "size": args.size,
             "k": [args.k_lo, args.k_hi],
+            "floor_ms": floor,
             "results": [dataclasses.asdict(m) for m in results],
         }
         with open(args.json, "w") as f:

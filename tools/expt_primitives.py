@@ -127,6 +127,28 @@ def case_gather_pallas_vmem(n, w):
     return step, (table, idx), n, n * 8 + w * 4
 
 
+def case_gather_sorted(n, w):
+    """Gather with MONOTONE indices (the expand kernels' access pattern is
+    near-monotone): is XLA's gather index-distribution-sensitive?"""
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.integers(0, 1 << 30, w).astype(np.int32))
+    idx = jnp.asarray(np.sort(rng.integers(0, w, n)).astype(np.int32))
+
+    def step(c):
+        table, idx = c
+        out = table[idx]
+        return _chain(table, out[0]), idx
+
+    return step, (table, idx), n, n * 8 + w * 4
+
+
+def _gather_w(w):
+    def case(n, _w):
+        return case_gather_1d(n, w)
+
+    return case
+
+
 def case_sort_5op(n, w):
     rng = np.random.default_rng(0)
     keys = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
@@ -190,6 +212,10 @@ def case_scatter_1d(n, w):
 
 CASES = {
     "gather_1d": case_gather_1d,
+    "gather_sorted": case_gather_sorted,
+    "gather_w8k": _gather_w(1 << 13),
+    "gather_w64k": _gather_w(1 << 16),
+    "gather_w16m": _gather_w(1 << 24),
     "gather_row128": case_gather_row128,
     "gather_row128_ta": case_gather_row128_ta,
     "gather_pallas_vmem": case_gather_pallas_vmem,
