@@ -131,9 +131,11 @@ class LiteralHarvest:
         self.numeric: Dict[Tuple[str, str], List[float]] = {}
 
     def scan_queries(self, queries: List[str]) -> "LiteralHarvest":
-        for sql in queries:
-            parsed = ParsedSQL(sql)
-            for entity, stmt in parsed.filters.items():
+        return self.scan_parsed([ParsedSQL(sql) for sql in queries])
+
+    def scan_parsed(self, parsed: List[ParsedSQL]) -> "LiteralHarvest":
+        for p in parsed:
+            for entity, stmt in p.filters.items():
                 self._walk(entity.table, stmt)
         return self
 
@@ -204,15 +206,19 @@ class SyntheticIMDB:
         min_rows: int = 50,
         hot_keys: int = 16,
         hot_fraction: float = 0.2,
+        witnesses: int = 4,
     ):
         self.scale = scale
         self.seed = seed
         self.min_rows = min_rows
         self.hot_keys = hot_keys
         self.hot_fraction = hot_fraction
+        self.witnesses = witnesses
         self.harvest = LiteralHarvest()
+        self.parsed_queries: List[ParsedSQL] = []
         if queries:
-            self.harvest.scan_queries(queries)
+            self.parsed_queries = [ParsedSQL(q) for q in queries]
+            self.harvest.scan_parsed(self.parsed_queries)
 
     # -- sizing ------------------------------------------------------------
 
@@ -237,7 +243,7 @@ class SyntheticIMDB:
         """Ids ``1..hot`` of ``table`` form its correlated hot-entity
         region (see :meth:`generate_table`)."""
         n = self.table_rows(table)
-        return max(min(n, 64), int(n * 0.02))
+        return max(min(n, 64), int(n * 0.04))
 
     def _gen_int(
         self, rng, table: str, column: str, n: int,
@@ -279,9 +285,17 @@ class SyntheticIMDB:
                 # famous movies/people are dense in every link table;
                 # independent sampling makes multi-filter joins
                 # vanish, r1 VERDICT #7)
+                # hot-region mass on a 4% region. Fact tables get 10%
+                # (2.5x enrichment — more measured an 84M-row blowup for
+                # 18c at scale 0.1 via hot x hot fan-out); small link
+                # tables (movie_link: 30k rows real) get up to 60% —
+                # in real IMDB those tables cover almost exclusively
+                # famous entities, and without that mass any query
+                # chaining through them starves (7b/21a)
+                mass = max(0.10, min(0.6, 30_000 / REAL_ROWS[table]))
                 hot_region = self._hot_region(fk_target)
                 region_pick = rng.integers(1, hot_region + 1, n)
-                use_region = rng.random(n) < 0.25
+                use_region = rng.random(n) < mass
                 uniform = np.where(use_region, region_pick, uniform)
             return uniform.astype(np.int32)
         lits = self.harvest.numeric.get(key)
@@ -320,11 +334,36 @@ class SyntheticIMDB:
         byte-heap form — no per-row Python: at scale 1.0 this path runs
         over 36M-row columns on a single core."""
         key = (table, column)
-        pool: List[bytes] = []
-        pool.extend(dict.fromkeys(self.harvest.eq.get(key, [])))
-        for pattern in dict.fromkeys(self.harvest.like.get(key, [])):
-            for _ in range(3):
-                pool.append(_instantiate_like(rng, pattern))
+        # never emit b'' as a value: the reference CSV dialect reads an
+        # empty field as NULL (build_table.cpp empty -> monostate), so
+        # empty strings cannot round-trip — and real IMDB has none
+        # (13b/13c harvest b'' via ``t.title != ''``)
+        eqs = [e for e in dict.fromkeys(self.harvest.eq.get(key, [])) if e]
+        patterns = list(dict.fromkeys(self.harvest.like.get(key, [])))
+        singles = [
+            s for p in patterns
+            for s in (_instantiate_like(rng, p) for _ in range(3)) if s
+        ]
+        # pairwise combinations: queries AND several LIKEs on one column
+        # (5a: note LIKE '%(theatrical)%' AND LIKE '%(France)%') — no
+        # single-pattern instantiation can satisfy both, so emit
+        # concatenations in both orders (covers anchored patterns)
+        pairs: List[bytes] = []
+        for i, p in enumerate(patterns[:12]):
+            for q in patterns[i + 1:12]:
+                pairs.append(_instantiate_like(rng, p)
+                             + _instantiate_like(rng, q))
+                pairs.append(_instantiate_like(rng, q)
+                             + _instantiate_like(rng, p))
+        pool: List[bytes] = eqs + singles + pairs
+        # category-weighted picks (eq 45% / singles 35% / pairs 20%): a
+        # large pair pool must not dilute the eq literals other queries
+        # equality-match against
+        weights = np.concatenate([
+            np.full(len(eqs), 0.45 / max(len(eqs), 1)),
+            np.full(len(singles), 0.35 / max(len(singles), 1)),
+            np.full(len(pairs), 0.20 / max(len(pairs), 1)),
+        ]) if pool else np.zeros(0)
 
         lens = rng.integers(min_len, max_len + 1, n).astype(np.int64)
         picks = use_pool = None
@@ -332,7 +371,9 @@ class SyntheticIMDB:
             pheap, pstarts, plens = _pool_heap(pool)
             rate = np.where(hot, 0.9, 0.45) if hot is not None else 0.45
             use_pool = rng.random(n) < rate
-            picks = rng.integers(0, len(pool), n)
+            picks = rng.choice(
+                len(pool), n, p=weights / weights.sum()
+            )
             lens = np.where(use_pool, plens[picks], lens)
         lens = np.where(valid, lens, 0)
 
@@ -419,7 +460,20 @@ class SyntheticIMDB:
         return HostTable(n, columns)
 
     def _enum_values(self, table: str, column: str, n: int) -> np.ndarray:
-        pool = list(dict.fromkeys(self.harvest.eq.get((table, column), [])))
+        pool = [e for e in dict.fromkeys(
+            self.harvest.eq.get((table, column), [])
+        ) if e]
+        # enum columns are also LIKE-filtered (lt.link LIKE '%follow%',
+        # cct.kind LIKE '%complete%'): instantiate those patterns too or
+        # the filter selects nothing
+        rng = self._column_rng(table, f"{column}/like")
+        for pattern in dict.fromkeys(
+            self.harvest.like.get((table, column), [])
+        ):
+            pool.extend(
+                _instantiate_like(rng, pattern) for _ in range(2)
+            )
+        pool = list(dict.fromkeys(pool))
         values = np.empty(n, dtype=object)
         for i in range(n):
             if i < len(pool):
@@ -430,11 +484,346 @@ class SyntheticIMDB:
 
     def generate(self, tables: Optional[List[str]] = None) -> Dict[str, HostTable]:
         names = tables if tables is not None else sorted(catalog.ATTRIBUTES)
-        return {t: self.generate_table(t) for t in names}
+        out = {t: self.generate_table(t) for t in names}
+        if self.parsed_queries and self.witnesses > 0 and tables is None:
+            _plant_witnesses(self, out)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Witness planting: deterministic rows guaranteeing non-empty query results
+# ---------------------------------------------------------------------------
+#
+# Probability tuning alone cannot make every 113-query conjunction survive
+# at every scale (long FK chains through 30k-row tables times multi-LIKE
+# filters multiply to ~0 under any reasonable distribution). The standard
+# synthetic-benchmark fix is to PLANT WITNESSES: for each query, write a
+# handful of rows per referenced entity that jointly satisfy the query's
+# full filter + join pattern. The planted mass (113 queries x 4 witnesses
+# x ~8 entities) is thousands of rows in a 74M-row database — it fixes
+# non-emptiness without distorting the distributions the heavy joins run
+# over. Results stay exact by construction (the oracle sees the same
+# planted data).
+
+
+def _synth_candidates(cmp, dtype) -> List:
+    """Candidate values (or NULL) satisfying one comparison."""
+    from ..sql.predicate import Op, like_match  # noqa: F401
+
+    v = cmp.value
+    op = cmp.op
+    if op is Op.IS_NULL:
+        return [NULL_SENTINEL]
+    if op is Op.IS_NOT_NULL:
+        return [b"witness" if dtype is DataType.VARCHAR else 1]
+    if dtype is DataType.VARCHAR:
+        if not isinstance(v, bytes):
+            return []
+        if op is Op.EQ:
+            return [v]
+        if op is Op.NEQ:
+            return [v + b"x", b"w" + v]
+        if op is Op.LIKE:
+            rng = np.random.default_rng(zlib.crc32(v) & 0xFFFF)
+            return [_instantiate_like(rng, v) for _ in range(4)]
+        if op is Op.NOT_LIKE:
+            return [b"zq9", b"witness"]
+        if op in (Op.GT, Op.GEQ):
+            return [v + b"z", v]
+        if op in (Op.LT, Op.LEQ):
+            # never emit b"": CSV ingest reads an empty field as NULL
+            # (reference build_table.cpp empty -> monostate), which would
+            # desync the CSV and in-memory paths
+            return ([v[:-1]] if len(v) > 1 else []) + [v]
+        return []
+    # numeric
+    if not isinstance(v, (int, float)):
+        return []
+    iv = int(v)
+    if op is Op.EQ:
+        return [iv]
+    if op is Op.NEQ:
+        return [iv + 1]
+    if op is Op.GT:
+        return [iv + 1, iv + 2]
+    if op is Op.GEQ:
+        return [iv, iv + 1]
+    if op is Op.LT:
+        return [iv - 1, iv - 2]
+    if op is Op.LEQ:
+        return [iv, iv - 1]
+    return []
+
+
+class _Unsat(Exception):
+    pass
+
+
+#: sentinel distinct from None for "write SQL NULL"
+NULL_SENTINEL = object()
+
+
+def _conjunctions(stmt, limit: int = 16):
+    """Yield flat comparison lists covering ``stmt`` (one OR branch per
+    disjunction, first branches first)."""
+    from ..sql.predicate import Comparison, LogicalOperation
+
+    if isinstance(stmt, Comparison):
+        yield [stmt]
+        return
+    assert isinstance(stmt, LogicalOperation)
+    kids = stmt.children
+    name = stmt.op_type.name
+    if name == "AND":
+        def rec(i):
+            if i == len(kids):
+                yield []
+                return
+            for head in _conjunctions(kids[i], limit):
+                for tail in rec(i + 1):
+                    yield head + tail
+        count = 0
+        for combo in rec(0):
+            yield combo
+            count += 1
+            if count >= limit:
+                return
+    elif name == "OR":
+        for kid in kids:
+            yield from _conjunctions(kid, limit)
+    else:  # NOT: invert single-child comparisons where possible
+        from ..sql.predicate import Op
+
+        inv = {Op.EQ: Op.NEQ, Op.NEQ: Op.EQ, Op.LIKE: Op.NOT_LIKE,
+               Op.NOT_LIKE: Op.LIKE, Op.IS_NULL: Op.IS_NOT_NULL,
+               Op.IS_NOT_NULL: Op.IS_NULL, Op.LT: Op.GEQ, Op.GEQ: Op.LT,
+               Op.GT: Op.LEQ, Op.LEQ: Op.GT}
+        (kid,) = kids
+        from ..sql.predicate import Comparison as _C
+
+        if isinstance(kid, _C) and kid.op in inv:
+            yield [_C(kid.column, inv[kid.op], kid.value)]
+
+
+def _synthesize_filter(stmt, attrs, preset: Dict[int, object]) -> Dict[int, object]:
+    """Column assignments satisfying ``stmt`` (a Statement over ``attrs``),
+    honoring ``preset`` (join-column values that must not change).
+    Returns {col_idx: value | NULL_SENTINEL}; raises _Unsat."""
+    from ..sql.predicate import Comparison, like_match, Op
+
+    if stmt is None:
+        return {}
+    for conj in _conjunctions(stmt):
+        by_col: Dict[int, List[Comparison]] = {}
+        for c in conj:
+            by_col.setdefault(c.column, []).append(c)
+        out: Dict[int, object] = {}
+        ok = True
+        for ci, cmps in by_col.items():
+            dtype = attrs[ci][1]
+
+            def passes(val, _ci=ci, _cmps=cmps):
+                test = [None] * (_ci + 1)
+                test[_ci] = None if val is NULL_SENTINEL else val
+                return all(c.eval_row(test) for c in _cmps)
+
+            if ci in preset:
+                if passes(preset[ci]):
+                    continue
+                ok = False
+                break
+            # candidates: each comparison's candidates + pairwise LIKE
+            # concatenations (multi-LIKE conjunctions on one column)
+            cands: List = []
+            for c in cmps:
+                cands.extend(_synth_candidates(c, dtype))
+            likes = [c for c in cmps if c.op is Op.LIKE]
+            if len(likes) > 1 and dtype is DataType.VARCHAR:
+                rng = np.random.default_rng(1)
+                insts = [_instantiate_like(rng, c.value) for c in likes]
+                cands.append(b"".join(insts))
+                cands.append(b"".join(reversed(insts)))
+            hit = next((v for v in cands if passes(v)), None)
+            if hit is None:
+                ok = False
+                break
+            out[ci] = hit
+        if ok:
+            return out
+    raise _Unsat
+
+
+def _plant_witnesses(gen: "SyntheticIMDB", tables: Dict[str, HostTable]) -> None:
+    from ..sql.predicate import Op  # noqa: F401
+
+    W = gen.witnesses
+    alloc: Dict[str, int] = {}
+    #: (table) -> list of (row, col_idx, value|NULL_SENTINEL)
+    writes: Dict[str, List] = {}
+    small_cache: Dict[Tuple, np.ndarray] = {}
+    unsat: List[str] = []
+
+    def alloc_rows(tname: str, k: int) -> List[int]:
+        n = tables[tname].num_rows
+        start = alloc.get(tname, 0)
+        alloc[tname] = start + k
+        return [(start + j) % n for j in range(k)]
+
+    for qi, parsed in enumerate(gen.parsed_queries):
+        entities = list(dict.fromkeys(parsed.alias_map.values()))
+
+        # join classes: DSU over (entity, column name)
+        parent: Dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            parent[find(a)] = find(b)
+
+        for a, nbrs in parsed.join_graph.items():
+            for b, (ca, cb) in nbrs.items():
+                union((a, ca), (b, cb))
+        classes: Dict = {}
+        for x in list(parent):
+            classes.setdefault(find(x), []).append(x)
+
+        # row selection. Small tables whose join columns are ALL their
+        # own PK ("pure anchors": enum tables, filtered dimension
+        # tables) reuse an existing filter-passing row — a 4-row enum
+        # table cannot host 113x4 witnesses, and reusing keeps enum ids
+        # meaningful. Everything else gets allocated (possibly
+        # overwritten) rows, because its join columns must be REWRITTEN
+        # to the class values (a small movie_link must still point at
+        # the witness title, r1 bug: skipping writes severed chains).
+        rows: Dict = {}
+        small: Dict = {}
+        for ent in entities:
+            t = tables[ent.table]
+            join_cols = [c for (e, c) in parent if e == ent]
+            pure_anchor = all(c == "id" for c in join_cols)
+            if t.num_rows < 5000 and pure_anchor:
+                key = (ent.table, id(parsed.filters.get(ent)))
+                passing = small_cache.get(key)
+                if passing is None:
+                    stmt = parsed.filters.get(ent)
+                    mask = (np.asarray(stmt.eval_table(t), bool)
+                            if stmt is not None
+                            else np.ones(t.num_rows, bool))
+                    passing = np.nonzero(mask)[0]
+                    small_cache[key] = passing
+                if len(passing):
+                    small[ent] = passing
+                    rows[ent] = [int(passing[j % len(passing)])
+                                 for j in range(W)]
+                    continue
+            rows[ent] = alloc_rows(ent.table, W)
+
+        # class value per witness j: the id of the class's id-column
+        # entity's witness row (ids are dense row+1)
+        class_vals: Dict = {}
+        for root, members in classes.items():
+            id_ents = [e for (e, c) in members if c == "id"]
+            if id_ents:
+                anchor = id_ents[0]
+            else:
+                # no PK in class: anchor on any member's FK target
+                anchor = None
+            if anchor is not None:
+                class_vals[root] = [rows[anchor][j] + 1 for j in range(W)]
+            else:
+                class_vals[root] = [j + 1 for j in range(W)]
+
+        # per entity: join-column presets + filter synthesis
+        for ent in entities:
+            attrs = catalog.ATTRIBUTES[ent.table]
+            col_of = {c: i for i, (c, _dt) in enumerate(attrs)}
+            preset: Dict[int, object] = {}
+            for (e, cname) in list(parent):
+                if e != ent:
+                    continue
+                ci = col_of[cname]
+                preset[ci] = class_vals[find((e, cname))]  # per-witness list
+            if ent in small:
+                continue  # existing row already passes; ids already align
+            stmt = parsed.filters.get(ent)
+            wl = writes.setdefault(ent.table, [])
+            for j in range(W):
+                preset_j = {
+                    ci: v[j] for ci, v in preset.items()
+                }
+                try:
+                    assign = _synthesize_filter(stmt, attrs, preset_j)
+                except _Unsat:
+                    unsat.append(f"{parsed.name or qi}:{ent}")
+                    break
+                r = rows[ent][j]
+                for ci, v in preset_j.items():
+                    if attrs[ci][0] != "id":
+                        wl.append((r, ci, v))
+                for ci, v in assign.items():
+                    wl.append((r, ci, v))
+
+    for tname, wl in writes.items():
+        _apply_writes(tables[tname], wl)
+    if unsat:
+        import sys
+
+        print(f"datagen: witness synthesis unsat for {sorted(set(unsat))}",
+              file=sys.stderr)
+
+
+def _apply_writes(table: HostTable, wl: List) -> None:
+    """Apply (row, col, value|NULL_SENTINEL) writes; VARCHAR columns are
+    rebuilt once via gather_varlen with the patch strings appended."""
+    by_col: Dict[int, List] = {}
+    for r, ci, v in wl:
+        by_col.setdefault(ci, []).append((r, v))
+    for ci, items in by_col.items():
+        col = table.columns[ci]
+        rows = np.fromiter((r for r, _ in items), np.int64, len(items))
+        if col.dtype is not DataType.VARCHAR:
+            vals = np.asarray(
+                [0 if v is NULL_SENTINEL else int(v) for _, v in items],
+                dtype=col.values.dtype,
+            )
+            col.values[rows] = vals
+            col.valid[rows] = np.asarray(
+                [v is not NULL_SENTINEL for _, v in items]
+            )
+            continue
+        # VARCHAR: starts/lens patched to point into an appended patch heap
+        lens = np.diff(col.ends, prepend=0)
+        starts = col.ends - lens
+        patch = b"".join(
+            b"" if v is NULL_SENTINEL else v for _, v in items
+        )
+        base = len(col.heap)
+        new_heap = np.concatenate([
+            col.heap, np.frombuffer(patch, dtype=np.uint8).copy()
+        ])
+        off = 0
+        valid = col.valid.copy()
+        for (r, v) in items:
+            if v is NULL_SENTINEL:
+                starts[r] = 0
+                lens[r] = 0
+                valid[r] = False
+            else:
+                starts[r] = base + off
+                lens[r] = len(v)
+                valid[r] = True
+                off += len(v)
+        heap, ends = gather_varlen(new_heap, starts, lens)
+        table.columns[ci] = HostColumn.varchar(heap, ends, valid)
 
 
 #: bump when generator logic changes (invalidates the disk cache)
-_GEN_VERSION = 3
+_GEN_VERSION = 6
 
 
 def generate_cached(

@@ -52,11 +52,16 @@ def main():
     from radixjoin_tpu.harness.run import JobHarness, TableSource
 
     with open(PLANS) as f:
-        names = json.load(f)["names"]
+        all_names = json.load(f)["names"]
+    names = all_names
     if args.queries:
         names = [n for n in args.queries.split(",") if n]
 
-    queries = datagen.load_job_queries(SQL_DIR, names)
+    # ALWAYS harvest literals from the full suite: the generator's
+    # disk-cache key includes the literal set, and the bench runs with
+    # all-113 harvesting — calibrating against per-subset data would
+    # measure a different database
+    queries = datagen.load_job_queries(SQL_DIR, all_names)
     t0 = time.time()
     tables = datagen.generate_cached(
         args.scale, args.seed, queries,
