@@ -33,12 +33,30 @@ bounded and the persistent compilation cache stays hot.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 
 MIN_BUCKET = 128
+
+
+def _use_pallas_gather(r_pad: int) -> bool:
+    """Route window lookups through the Mosaic lane-gather kernel.
+
+    XLA's gather lowers to a serial ~8.6 ns/element loop on TPU —
+    0.116G rows/s at ANY window size or index order (measured 2026-08-19,
+    benchmarks/roofline_v2_16M.json). The Pallas kernel
+    (ops/pallas_kernels.py window_gather) covers windows up to
+    WINDOW_GATHER_MAX at 4.5-36G rows/s (39-300x). Enum-table joins
+    (info_type, kind_type, role_type...) and small FK windows — the
+    majority of JOB join steps — all qualify."""
+    from . import pallas_kernels as pk
+
+    if os.environ.get("RJT_PALLAS_GATHER", "on") == "off":
+        return False
+    return r_pad <= pk.WINDOW_GATHER_MAX
 
 
 def bucket_size(n: int, minimum: int = MIN_BUCKET) -> int:
@@ -333,7 +351,12 @@ def join_unique_scatter_impl(
     off_p64 = probe_keys.astype(jnp.int64) - base
     in_window = (off_p64 >= 0) & (off_p64 < r_pad)
     off_p = jnp.clip(off_p64, 0, r_pad - 1).astype(jnp.int32)
-    hit = slots[off_p]
+    if _use_pallas_gather(r_pad):
+        from . import pallas_kernels as pk
+
+        (hit,) = pk.window_gather([slots], off_p)
+    else:
+        hit = slots[off_p]
     found = probe_valid & in_window & (hit >= 0)
     bidx = jnp.where(found, hit, 0)
     total = jnp.sum(found.astype(jnp.int64))
@@ -377,8 +400,16 @@ def join_csr_impl(
     off_p64 = probe_keys.astype(jnp.int64) - base
     in_window = probe_valid & (off_p64 >= 0) & (off_p64 < r_pad)
     off_p = jnp.clip(off_p64, 0, r_pad - 1).astype(jnp.int32)
-    cnt = jnp.where(in_window, counts_w[off_p], 0).astype(jnp.int64)
-    start = starts_w[off_p].astype(jnp.int64)
+    if _use_pallas_gather(r_pad):
+        from . import pallas_kernels as pk
+
+        cnt_i32, start_i32 = pk.window_gather(
+            [counts_w, starts_w], off_p
+        )
+    else:
+        cnt_i32, start_i32 = counts_w[off_p], starts_w[off_p]
+    cnt = jnp.where(in_window, cnt_i32, 0).astype(jnp.int64)
+    start = start_i32.astype(jnp.int64)
     offsets = jnp.cumsum(cnt) - cnt
     total = jnp.sum(cnt)
     # owner recovery (same as join_expand_impl): scatter each emitting

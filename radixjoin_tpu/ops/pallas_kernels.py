@@ -158,6 +158,110 @@ def bitmap_pack(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Window gather: VPU-speed random gather from small tables
+# ---------------------------------------------------------------------------
+#
+# XLA's gather lowers to ~0.116G rows/s on v5e regardless of table size
+# (measured 2026-08-19, benchmarks/roofline_v2_16M.json) — the single
+# biggest cost in the production join paths. Mosaic's dynamic lane-gather
+# (take_along_axis over the 128-lane axis) runs at ~16.5G rows/s, but only
+# selects within 128 lanes; this kernel covers a table of W = K*128
+# entries with K broadcast+gather+select passes, so the win scales as
+# ~16.5/K G rows/s: every enum-table join window in JOB (info_type=113,
+# kind_type, role_type, ...) is K=1, and FK windows up to a few thousand
+# ids stay well ahead of XLA's gather. Embeddable in x64 jits (i32-only
+# trace; one gather per table per pass).
+
+#: largest window routed to the Pallas gather (K = 4096/128 = 32 passes
+#: ~= 0.5G rows/s, ~4x XLA's gather; beyond that XLA wins on VMEM reuse)
+WINDOW_GATHER_MAX = 4096
+
+_WG_BLK = SUBLANE * LANE * 8  # 8192 probe elements per grid step
+
+
+def _lane_gather(vals: jnp.ndarray, lane: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(vals, lane, axis=1) with i32 indices (the jnp
+    wrapper upcasts indices to i64 under x64, which Mosaic cannot lower;
+    this exact lax.gather form IS Mosaic's dynamic lane-gather)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        vals, lane[..., None], dnums, slice_sizes=(1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _window_gather_kernel(*refs, k: int, tables: int):
+    idx_ref = refs[tables]
+    out_refs = refs[tables + 1:]
+    idx = idx_ref[:]  # (s, LANE) i32 in [0, k*128)
+    lane = idx & np.int32(LANE - 1)
+    row = idx >> np.int32(7)
+    accs = [jnp.zeros(idx.shape, jnp.int32) for _ in range(tables)]
+    for kk in range(k):
+        hit = row == np.int32(kk)
+        for t in range(tables):
+            vals = jnp.broadcast_to(
+                refs[t][kk, :][None, :], idx.shape
+            )
+            g = _lane_gather(vals, lane)
+            accs[t] = jnp.where(hit, g, accs[t])
+    for t in range(tables):
+        out_refs[t][:] = accs[t]
+
+
+def window_gather(tables, idx: jnp.ndarray):
+    """``[t[idx] for t in tables]`` for small i32 tables via Mosaic
+    lane-gathers. ``tables``: list of (W,) int32 arrays sharing one
+    index vector (a CSR join gathers counts+starts at the same offsets —
+    they ride one pass). ``idx`` must already be clamped to [0, W).
+    Traces clean inside x64 programs."""
+    tables = list(tables)
+    w = tables[0].shape[0]
+    k = _cdiv(w, LANE)
+    n = idx.shape[0]
+    npad = _cdiv(max(n, 1), _WG_BLK) * _WG_BLK
+    idx_p = _pad_to(idx.astype(jnp.int32), npad).reshape(
+        npad // LANE, LANE
+    )
+    tabs_p = [
+        _pad_to(t.astype(jnp.int32), k * LANE).reshape(k, LANE)
+        for t in tables
+    ]
+    s_blk = _WG_BLK // LANE
+    grid = npad // _WG_BLK
+    outs = pl.pallas_call(
+        functools.partial(
+            _window_gather_kernel, k=k, tables=len(tables)
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, LANE), lambda i: (_I0, _I0), memory_space=pltpu.VMEM
+            )
+        ] * len(tables) + [
+            pl.BlockSpec(
+                (s_blk, LANE), lambda i: (i, _I0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (s_blk, LANE), lambda i: (i, _I0),
+                memory_space=pltpu.VMEM,
+            )
+        ] * len(tables),
+        out_shape=[
+            jax.ShapeDtypeStruct((npad // LANE, LANE), jnp.int32)
+        ] * len(tables),
+        interpret=_interpret(),
+    )(*tabs_p, idx_p)
+    return [o.reshape(-1)[:n] for o in outs]
+
+
+# ---------------------------------------------------------------------------
 # Hash + bucket id (radix front end)
 # ---------------------------------------------------------------------------
 

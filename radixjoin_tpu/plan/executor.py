@@ -54,9 +54,44 @@ def _gather_cols(cols, idx, live):
     instruction, so K same-dtype columns stacked into a (K, pad) matrix
     and gathered once run ~Kx faster than K separate gathers (measured
     9.3 ms vs 57 ms for 4x 1M-row i32). Validity planes batch the same
-    way. Returns tuple of (data, valid & live) in input order."""
+    way. Returns tuple of (data, valid & live) in input order.
+
+    Small sources (pad <= WINDOW_GATHER_MAX — every enum-table payload
+    and small dimension scan) instead ride the Mosaic lane-gather kernel
+    at 4.5-36G rows/s vs XLA's fixed 0.116G rows/s (ops/pallas_kernels.py
+    window_gather); i64 data gathers as hi/lo i32 planes, validity as an
+    i32 plane, all in ONE kernel call."""
     if not cols:
         return ()
+    pad = cols[0][0].shape[0]
+    if join_ops._use_pallas_gather(pad):
+        from ..ops import pallas_kernels as pk
+
+        tables, specs = [], []
+        for i, (d, v) in enumerate(cols):
+            if d.dtype == jnp.int64:
+                hi, lo = pk._split64(d)
+                specs.append((i, "i64", len(tables)))
+                tables.extend((hi, lo))
+            else:
+                specs.append((i, "i32", len(tables)))
+                tables.append(d)
+            tables.append(v.astype(jnp.int32))
+        gs = pk.window_gather(tables, idx.astype(jnp.int32))
+        out = []
+        for (i, kind, t0) in specs:
+            if kind == "i64":
+                hi64 = gs[t0].astype(jnp.int64) << 32
+                lo64 = jax.lax.bitcast_convert_type(
+                    gs[t0 + 1], jnp.uint32
+                ).astype(jnp.int64)
+                data = hi64 | lo64
+                gv = gs[t0 + 2]
+            else:
+                data = gs[t0]
+                gv = gs[t0 + 1]
+            out.append((data, (gv != 0) & live))
+        return tuple(out)
     outs = [None] * len(cols)
     groups: Dict = {}
     for i, (d, _v) in enumerate(cols):
