@@ -855,8 +855,11 @@ def generate_cached(
     tables = SyntheticIMDB(scale=scale, seed=seed, queries=queries).generate()
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        _save_tables(f"{path}.tmp.{os.getpid()}", tables)
-        os.replace(f"{path}.tmp.{os.getpid()}", path)
+        # tmp name must end in .npz: np.savez appends the suffix otherwise,
+        # and the replace() below would then target a nonexistent file
+        tmp = f"{path}.{os.getpid()}.tmp.npz"
+        _save_tables(tmp, tables)
+        os.replace(tmp, path)
     except OSError:
         pass  # cache is best-effort (disk full etc.)
     return tables

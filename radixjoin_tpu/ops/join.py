@@ -28,6 +28,12 @@ drops NULL keys, reference src/execute.cpp:62-83).
 All kernels are shape-polymorphic only through the jit cache: callers pad
 inputs to pow2 buckets (:func:`bucket_size`) so compilation count stays
 bounded and the persistent compilation cache stays hot.
+
+Index math is int32 throughout: TPU has no 64-bit vector lanes (i64 is
+emulated as hi/lo i32 planes, doubling every scan/cumsum/gather), and all
+per-chip positions fit i32 by construction — a padded bucket of 2^31 rows
+of the narrowest payload (5 B) would exceed any chip's HBM several times
+over. Scalars that cross the device boundary (``total``) stay int64.
 """
 
 from __future__ import annotations
@@ -98,27 +104,27 @@ def join_count_impl(
     _, keys_sorted, perm = jax.lax.sort(
         (invalid, build_keys, iota), num_keys=2
     )
-    nvalid = jnp.sum(build_valid.astype(jnp.int64))
+    nvalid = jnp.sum(build_valid, dtype=jnp.int32)
     # The invalid tail holds arbitrary key values; overwrite with the dtype
     # max so the array is globally sorted for searchsorted. A real key equal
     # to the max is still counted exactly because lo/hi are clamped to
     # nvalid below.
-    pos = jnp.arange(bp, dtype=jnp.int64)
+    pos = jnp.arange(bp, dtype=jnp.int32)
     maxval = jnp.array(jnp.iinfo(build_keys.dtype).max, dtype=build_keys.dtype)
     keys_search = jnp.where(pos < nvalid, keys_sorted, maxval)
     # sort-based searchsorted: on TPU a co-sort is ~8x faster than the
     # log2(B) rounds of gathers a binary search lowers to
     lo = jnp.searchsorted(
         keys_search, probe_keys, side="left", method="sort"
-    ).astype(jnp.int64)
+    ).astype(jnp.int32)
     hi = jnp.searchsorted(
         keys_search, probe_keys, side="right", method="sort"
-    ).astype(jnp.int64)
+    ).astype(jnp.int32)
     lo = jnp.minimum(lo, nvalid)
     hi = jnp.minimum(hi, nvalid)
     counts = jnp.where(probe_valid, hi - lo, 0)
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
-    total = jnp.sum(counts)
+    total = jnp.sum(counts, dtype=jnp.int64)
     return perm, lo, counts, offsets, total
 
 
@@ -142,19 +148,20 @@ def join_expand_impl(
     vector ops instead of a per-slot binary search (TPU gathers are slow).
     """
     pp = offsets.shape[0]
-    counts_nonzero = jnp.diff(jnp.append(offsets, total)) > 0
+    total32 = total.astype(jnp.int32)
+    counts_nonzero = jnp.diff(jnp.append(offsets, total32)) > 0
     starts = jnp.where(counts_nonzero, offsets, s_pad)
     marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
     marker = marker.at[starts].max(jnp.arange(pp, dtype=jnp.int32), mode="drop")
     pidx = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
-    pidx = jnp.clip(pidx, 0, pp - 1).astype(jnp.int64)
-    j = jnp.arange(s_pad, dtype=jnp.int64)
+    pidx = jnp.clip(pidx, 0, pp - 1)
+    j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[pidx]
     bpos = jnp.clip(lo[pidx] + within, 0, perm.shape[0] - 1)
     bidx = perm[bpos]
-    live = j < total
-    bidx = jnp.where(live, bidx, 0).astype(jnp.int32)
-    pidx = jnp.where(live, pidx, 0).astype(jnp.int32)
+    live = j < total32
+    bidx = jnp.where(live, bidx, 0)
+    pidx = jnp.where(live, pidx, 0)
     return bidx, pidx, live
 
 
@@ -209,26 +216,26 @@ def join_merge_impl(
     _, keys_s, side_s, ids_s, valid_s = jax.lax.sort(
         (invalid, keys, side, ids, valid.astype(jnp.uint8)), num_keys=3
     )
-    pos = jnp.arange(n, dtype=jnp.int64)
+    pos = jnp.arange(n, dtype=jnp.int32)
     prev_key = jnp.concatenate([keys_s[:1], keys_s[:-1]])
     prev_valid = jnp.concatenate([valid_s[:1], valid_s[:-1]])
     # runs break on key change AND on the valid->invalid boundary (an
     # invalid element whose key equals the last valid run must not join it)
     is_start = (pos == 0) | (keys_s != prev_key) | (valid_s != prev_valid)
     run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, jnp.int64(0))
+        jnp.maximum, jnp.where(is_start, pos, jnp.int32(0))
     )
-    is_probe = side_s == 1
-    probe_excl = jnp.cumsum(is_probe.astype(jnp.int64)) - is_probe
+    is_probe = (side_s == 1).astype(jnp.int32)
+    probe_excl = jnp.cumsum(is_probe) - is_probe
     # probe_excl at each run start, broadcast across the run (monotone, so
     # a running max of start-masked values is exact)
     probe_at_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, probe_excl, jnp.int64(0))
+        jnp.maximum, jnp.where(is_start, probe_excl, jnp.int32(0))
     )
     builds_in_run = (pos - run_start) - (probe_excl - probe_at_start)
-    counts = jnp.where(is_probe & (valid_s == 1), builds_in_run, 0)
+    counts = jnp.where((is_probe == 1) & (valid_s == 1), builds_in_run, 0)
     offsets = jnp.cumsum(counts) - counts
-    total = jnp.sum(counts)
+    total = jnp.sum(counts, dtype=jnp.int64)
     return ids_s, run_start, counts, offsets, total
 
 
@@ -243,22 +250,23 @@ def join_expand_merge_impl(
     probe_row, live). Same scatter-max owner recovery as
     :func:`join_expand_impl`, but over combined positions."""
     n = offsets.shape[0]
-    counts_nonzero = jnp.diff(jnp.append(offsets, total)) > 0
+    total32 = total.astype(jnp.int32)
+    counts_nonzero = jnp.diff(jnp.append(offsets, total32)) > 0
     starts = jnp.where(counts_nonzero, offsets, s_pad)
     marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
     marker = marker.at[starts].max(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
     owner = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
-    owner = jnp.clip(owner, 0, n - 1).astype(jnp.int64)
-    j = jnp.arange(s_pad, dtype=jnp.int64)
+    owner = jnp.clip(owner, 0, n - 1)
+    j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[owner]
     bpos = jnp.clip(run_start[owner] + within, 0, n - 1)
     bidx = ids_sorted[bpos]
     pidx = ids_sorted[owner]
-    live = j < total
-    bidx = jnp.where(live, bidx, 0).astype(jnp.int32)
-    pidx = jnp.where(live, pidx, 0).astype(jnp.int32)
+    live = j < total32
+    bidx = jnp.where(live, bidx, 0)
+    pidx = jnp.where(live, pidx, 0)
     return bidx, pidx, live
 
 
@@ -286,21 +294,21 @@ def join_unique_impl(
     _, keys_sorted, perm = jax.lax.sort(
         (invalid, build_keys, iota), num_keys=2
     )
-    nvalid = jnp.sum(build_valid.astype(jnp.int64))
-    pos = jnp.arange(bp, dtype=jnp.int64)
+    nvalid = jnp.sum(build_valid, dtype=jnp.int32)
+    pos = jnp.arange(bp, dtype=jnp.int32)
     maxval = jnp.array(jnp.iinfo(build_keys.dtype).max, dtype=build_keys.dtype)
     keys_search = jnp.where(pos < nvalid, keys_sorted, maxval)
     lo = jnp.searchsorted(
         keys_search, probe_keys, side="left", method="sort"
-    ).astype(jnp.int64)
+    ).astype(jnp.int32)
     lo_c = jnp.minimum(lo, bp - 1)
     found = (
         probe_valid
         & (lo < nvalid)
         & (keys_search[lo_c] == probe_keys)
     )
-    bidx = jnp.where(found, perm[lo_c], 0).astype(jnp.int32)
-    total = jnp.sum(found.astype(jnp.int64))
+    bidx = jnp.where(found, perm[lo_c], 0)
+    total = jnp.sum(found, dtype=jnp.int64)
     return bidx, found, total
 
 
@@ -359,7 +367,7 @@ def join_unique_scatter_impl(
         hit = slots[off_p]
     found = probe_valid & in_window & (hit >= 0)
     bidx = jnp.where(found, hit, 0)
-    total = jnp.sum(found.astype(jnp.int64))
+    total = jnp.sum(found, dtype=jnp.int64)
     return bidx, found, total
 
 
@@ -408,10 +416,11 @@ def join_csr_impl(
         )
     else:
         cnt_i32, start_i32 = counts_w[off_p], starts_w[off_p]
-    cnt = jnp.where(in_window, cnt_i32, 0).astype(jnp.int64)
-    start = start_i32.astype(jnp.int64)
+    cnt = jnp.where(in_window, cnt_i32, 0)
+    start = start_i32
     offsets = jnp.cumsum(cnt) - cnt
-    total = jnp.sum(cnt)
+    total = jnp.sum(cnt, dtype=jnp.int64)
+    total32 = total.astype(jnp.int32)
     # owner recovery (same as join_expand_impl): scatter each emitting
     # probe's id at its output start, running max fills the run
     starts_out = jnp.where(cnt > 0, offsets, s_pad)
@@ -420,14 +429,14 @@ def join_csr_impl(
         jnp.arange(pp, dtype=jnp.int32), mode="drop"
     )
     pidx = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
-    pidx = jnp.clip(pidx, 0, pp - 1).astype(jnp.int64)
-    j = jnp.arange(s_pad, dtype=jnp.int64)
+    pidx = jnp.clip(pidx, 0, pp - 1)
+    j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[pidx]
     gpos = jnp.clip(start[pidx] + within, 0, grouped.shape[0] - 1)
     bidx = grouped[gpos]
-    live = j < total
-    bidx = jnp.where(live, bidx, 0).astype(jnp.int32)
-    pidx = jnp.where(live, pidx, 0).astype(jnp.int32)
+    live = j < total32
+    bidx = jnp.where(live, bidx, 0)
+    pidx = jnp.where(live, pidx, 0)
     return bidx, pidx, live, total
 
 
