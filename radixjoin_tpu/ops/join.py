@@ -153,7 +153,7 @@ def join_expand_impl(
     starts = jnp.where(counts_nonzero, offsets, s_pad)
     marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
     marker = marker.at[starts].max(jnp.arange(pp, dtype=jnp.int32), mode="drop")
-    pidx = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
+    pidx = jax.lax.cummax(marker[:s_pad])
     pidx = jnp.clip(pidx, 0, pp - 1)
     j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[pidx]
@@ -222,16 +222,12 @@ def join_merge_impl(
     # runs break on key change AND on the valid->invalid boundary (an
     # invalid element whose key equals the last valid run must not join it)
     is_start = (pos == 0) | (keys_s != prev_key) | (valid_s != prev_valid)
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, jnp.int32(0))
-    )
+    run_start = jax.lax.cummax(jnp.where(is_start, pos, jnp.int32(0)))
     is_probe = (side_s == 1).astype(jnp.int32)
     probe_excl = jnp.cumsum(is_probe) - is_probe
     # probe_excl at each run start, broadcast across the run (monotone, so
     # a running max of start-masked values is exact)
-    probe_at_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, probe_excl, jnp.int32(0))
-    )
+    probe_at_start = jax.lax.cummax(jnp.where(is_start, probe_excl, jnp.int32(0)))
     builds_in_run = (pos - run_start) - (probe_excl - probe_at_start)
     counts = jnp.where((is_probe == 1) & (valid_s == 1), builds_in_run, 0)
     offsets = jnp.cumsum(counts) - counts
@@ -257,7 +253,7 @@ def join_expand_merge_impl(
     marker = marker.at[starts].max(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
-    owner = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
+    owner = jax.lax.cummax(marker[:s_pad])
     owner = jnp.clip(owner, 0, n - 1)
     j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[owner]
@@ -428,7 +424,7 @@ def join_csr_impl(
     marker = marker.at[starts_out].max(
         jnp.arange(pp, dtype=jnp.int32), mode="drop"
     )
-    pidx = jax.lax.associative_scan(jnp.maximum, marker[:s_pad])
+    pidx = jax.lax.cummax(marker[:s_pad])
     pidx = jnp.clip(pidx, 0, pp - 1)
     j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[pidx]

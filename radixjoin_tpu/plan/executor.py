@@ -574,7 +574,7 @@ def _compact_probe_shaped(cols, live, out_pad: int):
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
     src = jnp.clip(
-        jax.lax.associative_scan(jnp.maximum, marker[:out_pad]), 0, n - 1
+        jax.lax.cummax(marker[:out_pad]), 0, n - 1
     )
     live_out = jnp.arange(out_pad, dtype=jnp.int64) < total
     return _gather_cols(cols, src, live_out)
