@@ -287,6 +287,38 @@ def device_column_to_host(col: DevColumn, num_rows: int) -> HostColumn:
     return HostColumn(col.dtype, data, valid)
 
 
+def paged_column_to_device(pcol, num_rows: int, pad: int) -> Optional[DevColumn]:
+    """Upload the RAW pages and decode on device (VERDICT r1 #4).
+
+    Returns None when the column is not eligible (VARCHAR — dictionary
+    building is host-bound — or pages not row-aligned, e.g. the greedy
+    reference-parity encoder, or RJT_DEVICE_DECODE=off); callers fall
+    back to the host decode + dense upload. Replaces the host decode of
+    reference src/build_table.cpp:306-436 with on-chip header/bitmap/rank
+    decode (storage/device_decode.py)."""
+    from .storage import device_decode as dd
+
+    if not dd.enabled() or pcol.type not in dd.ALIGNED_ROWS:
+        return None
+    if callable(pcol._pages):
+        # lazily-deferred encode (harness/bench path): the dense host
+        # arrays already exist and upload directly — forcing a page
+        # encode just to decode it back on device would add work
+        return None
+    pages = pcol.pages
+    if dd.aligned_full_pages(pages, num_rows, pcol.type) is None:
+        return None
+    data, valid = dd.decode_fixed_device(pages, num_rows, pcol.type)
+    if pad > num_rows:
+        data = jnp.concatenate(
+            [data, jnp.zeros(pad - num_rows, dtype=data.dtype)]
+        )
+        valid = jnp.concatenate(
+            [valid, jnp.zeros(pad - num_rows, dtype=bool)]
+        )
+    return DevColumn(pcol.type, data, valid)
+
+
 def host_table_to_device(table: HostTable) -> DevTable:
     pad = join_ops.bucket_size(table.num_rows)
     return DevTable(
@@ -362,18 +394,25 @@ def _execute_scan(input_table: ColumnarTable, output_attrs) -> DevTable:
 
     (Reference: Table::from_columnar + per-record projection,
     src/execute.cpp:284-300 — here projection is column selection, free.)
+    Row-aligned fixed-width columns upload raw pages and decode on chip;
+    others decode on the host and upload dense.
     """
-    host = input_table.to_host()
-    dev = host_table_to_device(host)
+    pad = join_ops.bucket_size(input_table.num_rows)
+    host = None
     cols = []
     for col_idx, dt in output_attrs:
-        col = dev.columns[col_idx]
-        if col.dtype is not dt:
+        pcol = input_table.columns[col_idx]
+        if pcol.type is not dt:
             raise TypeError(
-                f"scan output attr {col_idx}: declared {dt}, stored {col.dtype}"
+                f"scan output attr {col_idx}: declared {dt}, stored {pcol.type}"
             )
+        col = paged_column_to_device(pcol, input_table.num_rows, pad)
+        if col is None:
+            if host is None:
+                host = input_table.to_host()
+            col = host_column_to_device(host.columns[col_idx], pad)
         cols.append(col)
-    return DevTable(dev.num_rows, cols)
+    return DevTable(input_table.num_rows, cols)
 
 
 def _empty_result(output_attrs) -> DevTable:

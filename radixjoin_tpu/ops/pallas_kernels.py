@@ -262,6 +262,70 @@ def window_gather(tables, idx: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Paged window gather: each row gathers from its OWN small window
+# ---------------------------------------------------------------------------
+
+
+def _paged_gather_kernel(body_ref, idx_ref, out_ref, *, k: int):
+    body = body_ref[:]  # (k, LANE): this page's words
+    idx = idx_ref[:]    # (ro // LANE, LANE)
+    lane = idx & np.int32(LANE - 1)
+    row = idx >> np.int32(7)
+    acc = jnp.zeros(idx.shape, jnp.int32)
+    for kk in range(k):
+        hit = row == np.int32(kk)
+        g = _lane_gather(jnp.broadcast_to(body[kk][None, :], idx.shape), lane)
+        acc = jnp.where(hit, g, acc)
+    out_ref[:] = acc
+
+
+def paged_window_gather(body: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``out[p, r] = body[p, idx[p, r]]``: batched per-page window gather.
+
+    The device page-decode path (storage/device_decode.py) aligns each
+    row's packed value position inside its own 8 KiB page; the gather
+    window is that page's 2048 words, so each grid step holds one page's
+    body in VMEM and runs the K-pass Mosaic lane-gather of
+    :func:`window_gather` against it. ``body``: (npages, W) int32 with W a
+    multiple of 128; ``idx``: (npages, Ro) int32 in [0, W), Ro a multiple
+    of 128. Traces clean inside x64 programs (i32 only).
+    """
+    npages, w = body.shape
+    _, ro = idx.shape
+    assert w % LANE == 0 and ro % LANE == 0, (w, ro)
+    k, rr = w // LANE, ro // LANE
+    # Mosaic blocks need sublane counts divisible by 8: pad the index
+    # rows up (zero index = in-bounds word 0; the padding is sliced off)
+    rrp = _cdiv(rr, SUBLANE) * SUBLANE
+    idx_p = idx.astype(jnp.int32)
+    if rrp != rr:
+        idx_p = jnp.concatenate(
+            [idx_p, jnp.zeros((npages, (rrp - rr) * LANE), jnp.int32)],
+            axis=1,
+        )
+    # pre-shape to (npages*k, LANE) so each block is one page already in
+    # Mosaic's native (sublane, lane) tiling — no in-kernel reshape
+    body2 = body.reshape(npages * k, LANE)
+    idx2 = idx_p.reshape(npages * rrp, LANE)
+    out = pl.pallas_call(
+        functools.partial(_paged_gather_kernel, k=k),
+        grid=(npages,),
+        in_specs=[
+            pl.BlockSpec((k, LANE), lambda i: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rrp, LANE), lambda i: (i, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (rrp, LANE), lambda i: (i, _I0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((npages * rrp, LANE), jnp.int32),
+        interpret=_interpret(),
+    )(body2, idx2)
+    return out.reshape(npages, rrp * LANE)[:, :ro]
+
+
+# ---------------------------------------------------------------------------
 # Hash + bucket id (radix front end)
 # ---------------------------------------------------------------------------
 

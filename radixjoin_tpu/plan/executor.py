@@ -799,19 +799,46 @@ def run_plan(plan: Plan, unique_joins: frozenset, max_attempts: int = 12):
 
 def _run_scan(eng, plan: Plan, idx: int, node) -> _NodeResult:
     table = plan.inputs[node.data.base_table_id]
-    host = table.to_host()
-    pad = join_ops.bucket_size(host.num_rows)
+    pad = join_ops.bucket_size(table.num_rows)
+    host = None
     cols, dicts = [], []
     for ci, dt in node.output_attrs:
-        hcol = host.columns[ci]
-        if hcol.dtype is not dt:
+        pcol = table.columns[ci]
+        if pcol.type is not dt:
             raise TypeError(
-                f"scan output attr {ci}: declared {dt}, stored {hcol.dtype}"
+                f"scan output attr {ci}: declared {dt}, stored {pcol.type}"
             )
-        dev = _device_column_cached(eng, hcol, pad)
+        # device page decode first (raw-page upload, no host decode);
+        # falls back to host decode + dense upload when ineligible
+        dev = _paged_column_cached(eng, pcol, table.num_rows, pad)
+        if dev is None:
+            if host is None:
+                host = table.to_host()
+            dev = _device_column_cached(eng, host.columns[ci], pad)
         cols.append((dev.data, dev.valid))
         dicts.append(dev.dictionary)
-    return _NodeResult(cols, host.num_rows, pad, True, dicts)
+    return _NodeResult(cols, table.num_rows, pad, True, dicts)
+
+
+def _paged_column_cached(eng, pcol, num_rows: int, pad: int):
+    """Device page-decode memo: one raw-page upload + on-chip decode per
+    (paged column, pad) per process; ineligible columns memoize the miss
+    so the alignment header scan runs once."""
+    memo = getattr(pcol, "_dev_memo", None)
+    if memo is None:
+        memo = {}
+        object.__setattr__(pcol, "_dev_memo", memo)
+        eng.register_device_cache_col(pcol)  # OOM-recovery eviction hook
+    if pad in memo:
+        return memo[pad]
+    if memo.get("ineligible"):
+        return None
+    dev = eng.paged_column_to_device(pcol, num_rows, pad)
+    if dev is None:
+        memo["ineligible"] = True
+    else:
+        memo[pad] = dev
+    return dev
 
 
 def _device_column_cached(eng, hcol, pad: int):

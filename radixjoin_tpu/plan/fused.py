@@ -130,16 +130,24 @@ class FusedPlan:
             node = plan.nodes[idx]
             if isinstance(node.data, ScanNode):
                 table = plan.inputs[node.data.base_table_id]
-                host = table.to_host()
-                pad = join_ops.bucket_size(host.num_rows)
+                pad = join_ops.bucket_size(table.num_rows)
                 pads[idx] = pad
                 col_ids = []
+                host = None
                 for col_idx, dt in node.output_attrs:
                     key = (node.data.base_table_id, col_idx, pad)
                     if key not in packed:
-                        dev = _ex._device_column_cached(
-                            eng, host.columns[col_idx], pad
+                        # raw-page upload + on-chip decode where aligned;
+                        # host decode + dense upload otherwise
+                        dev = _ex._paged_column_cached(
+                            eng, table.columns[col_idx], table.num_rows, pad
                         )
+                        if dev is None:
+                            if host is None:
+                                host = table.to_host()
+                            dev = _ex._device_column_cached(
+                                eng, host.columns[col_idx], pad
+                            )
                         packed[key] = len(self.col_args)
                         self.col_args.append((dev.data, dev.valid))
                         self.dicts.append(dev.dictionary)

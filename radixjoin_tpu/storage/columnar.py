@@ -25,6 +25,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from ..dtypes import NULL, DataType, PAGE_SIZE, is_null
+from . import device_decode
 from . import host_pool
 from . import native as _native
 from . import page as page_codec
@@ -283,7 +284,9 @@ class Column:
     reads the bytes — the byte format itself stays exact and fully tested
     (tests/test_page_codec.py)."""
 
-    __slots__ = ("type", "_pages")
+    # _dev_memo: device page-decode upload memo (plan/executor.py);
+    # __weakref__: engine._DEVICE_CACHE_COLS eviction registry
+    __slots__ = ("type", "_pages", "_dev_memo", "__weakref__")
 
     def __init__(self, type: DataType, pages):
         self.type = type
@@ -340,11 +343,14 @@ class ColumnarTable:
     def from_host(table: "HostTable", lazy: bool = False) -> "ColumnarTable":
         # column-parallel page encode (reference: to_columnar drives
         # per-column save_page tasks through filter_tp,
-        # build_table.cpp:438-681); the codec is ctypes -> GIL-free
+        # build_table.cpp:438-681); fixed-width columns use the
+        # row-aligned layout (storage/device_decode.py) so scans can
+        # upload raw pages and decode on device — still standard pages,
+        # any decoder accepts them
         def enc_pages(c: "HostColumn") -> np.ndarray:
             if c.dtype is DataType.VARCHAR:
                 return page_codec.encode_varchar_heap(c.heap, c.ends, c.valid)
-            return page_codec.encode_fixed(c.values, c.valid, c.dtype)
+            return device_decode.encode_fixed_aligned(c.values, c.valid, c.dtype)
 
         if lazy:
             import functools

@@ -28,7 +28,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(ndev: int, rows_per_dev: int, skew: float, reps: int) -> dict:
+def run_one(ndev: int, rows_per_dev: int, skew: float, reps: int,
+            chunks: int = 1, breakdown: bool = False) -> dict:
     """Child-process body: build the mesh, run the join, report timings."""
     import numpy as np
     import jax
@@ -39,8 +40,8 @@ def run_one(ndev: int, rows_per_dev: int, skew: float, reps: int) -> dict:
 
     from radixjoin_tpu.parallel import distributed_join, make_mesh
     from radixjoin_tpu.parallel.dist_join import (
-        DistJoinConfig, detect_hot_keys, distributed_join_device, shard_inputs,
-        _pad_to_shards,
+        DistJoinConfig, detect_hot_keys, distributed_join_device,
+        shard_inputs, _pad_to_shards, _phase_fn,
     )
 
     mesh = make_mesh(ndev)
@@ -59,7 +60,7 @@ def run_one(ndev: int, rows_per_dev: int, skew: float, reps: int) -> dict:
 
     # pre-shard once: the scaling measure targets the SPMD shuffle+join
     # phases (what rides ICI on a pod), not host staging
-    config = DistJoinConfig()
+    config = DistJoinConfig(exchange_chunks=chunks)
     sharded = shard_inputs(mesh, bk, bv, bpl, pk, pv, ppl)
     cap_p = max(16, int(config.capacity_factor * (sharded[3].shape[0] // ndev) / ndev) + 1)
     hot_keys, hot_valid = detect_hot_keys(
@@ -67,9 +68,11 @@ def run_one(ndev: int, rows_per_dev: int, skew: float, reps: int) -> dict:
         _pad_to_shards(pv.astype(bool), ndev, fill=False),
         config, ndev, cap_p,
     )
-    # warmup (compile)
+    # warmup (compile) + capture the resolved static config for the
+    # per-phase instrumentation below
+    info: dict = {}
     cols, live, totals = distributed_join_device(
-        *sharded, mesh, hot_keys, hot_valid, config
+        *sharded, mesh, hot_keys, hot_valid, config, info_out=info
     )
     jax.block_until_ready(live)
     times = []
@@ -82,13 +85,100 @@ def run_one(ndev: int, rows_per_dev: int, skew: float, reps: int) -> dict:
         times.append(time.perf_counter() - t0)
     best = min(times)
     out_rows = int(np.asarray(live).sum())
-    return {
+    res = {
         "ndev": ndev,
         "probe_rows": n_probe,
         "out_rows": out_rows,
         "s": best,
         "probe_rows_per_s": n_probe / best,
+        "chunks": chunks,
     }
+    if breakdown:
+        res.update(_phase_breakdown(
+            mesh, ndev, sharded, hot_keys, hot_valid, info, reps))
+    return res
+
+
+def _phase_breakdown(mesh, ndev, sharded, hot_keys, hot_valid,
+                     info, reps) -> dict:
+    """Per-phase timings (VERDICT r1 #3): the exchange phase (all_to_all
+    + local co-sort + count) and the expand phase (pure local) are
+    separate jitted programs in production (dist_join._phase_fn), so each
+    is timed through its own full sync. A third number — the local
+    co-sort+count alone, jitted WITHOUT shard_map at exactly the received
+    per-device shapes — separates algorithmic compute from
+    collective+padding overhead: exchange_overhead = phaseA - local.
+
+    Also records the bytes each device sends on the wire (the padded
+    all_to_all buffers minus the diagonal that stays home, plus the hot
+    all_gather), which the parent feeds into the ICI projection."""
+    import numpy as np
+    import jax
+
+    from radixjoin_tpu.ops import join as join_ops
+
+    kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d = sharded
+    bnames, pnames = tuple(bpl_d), tuple(ppl_d)
+    hk, hv = np.asarray(hot_keys), np.asarray(hot_valid)
+    common = dict(bloom_bits=info["bloom_bits"], chunks=info["chunks"],
+                  ngroups=info["ngroups"])
+    ex_fn = _lazy_phase_fn("exchange", mesh, ndev, info, bnames, pnames,
+                           None, common)
+    mat_fn = _lazy_phase_fn("expand", mesh, ndev, info, bnames, pnames,
+                            info["s_pad"], common)
+    args = (kb_d, vb_d, bpl_d, kp_d, vp_d, ppl_d, hk, hv)
+    groups = ex_fn(*args)[0]
+    jax.block_until_ready(groups)
+    ex_ms, mat_ms = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        groups, _tot, _ovf = ex_fn(*args)
+        jax.block_until_ready(groups)
+        t1 = time.perf_counter()
+        out = mat_fn(groups)
+        jax.block_until_ready(out)
+        ex_ms.append((t1 - t0) * 1e3)
+        mat_ms.append((time.perf_counter() - t1) * 1e3)
+
+    # local reference: the same co-sort+count at the received per-device
+    # shapes (ndev senders x cap rows each), no shard_map, no collectives
+    rng = np.random.default_rng(1)
+    nb, npb = ndev * info["cap_b"], ndev * info["cap_p"]
+    lkb = jax.numpy.asarray(rng.integers(0, 1 << 40, nb))
+    lkp = jax.numpy.asarray(rng.integers(0, 1 << 40, npb))
+    lvb = jax.numpy.ones(nb, bool)
+    lvp = jax.numpy.ones(npb, bool)
+    local = jax.jit(join_ops.join_merge_impl)
+    jax.block_until_ready(local(lkb, lvb, lkp, lvp))
+    loc_ms = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(local(lkb, lvb, lkp, lvp))
+        loc_ms.append((time.perf_counter() - t0) * 1e3)
+
+    brow = 8 + 1 + 8 * len(bnames)  # key + valid + i64 payloads
+    prow = 8 + 1 + 8 * len(pnames)
+    chunks = info["chunks"]
+    sent = (ndev - 1) * chunks * (info["cap_b"] * brow + info["cap_p"] * prow)
+    sent += (ndev - 1) * info["hot_cap"] * brow  # hot all_gather
+    sent += 2 * info["bloom_bits"] // 8  # psum-OR of the Bloom bitmap
+    return {
+        "phase_exchange_ms": min(ex_ms),
+        "phase_expand_ms": min(mat_ms),
+        "local_sort_count_ms": min(loc_ms),
+        "bytes_sent_per_dev": int(sent),
+        "cap_b": info["cap_b"], "cap_p": info["cap_p"],
+        "hot_cap": info["hot_cap"], "s_pad": info["s_pad"],
+    }
+
+
+def _lazy_phase_fn(phase, mesh, ndev, info, bnames, pnames, s_pad, common):
+    from radixjoin_tpu.parallel.dist_join import _phase_fn
+
+    return _phase_fn(
+        phase, mesh, ndev, info["cap_b"], info["cap_p"], info["hot_cap"],
+        bnames, pnames, s_pad, **common,
+    )
 
 
 def run_one_plan(ndev: int, rows_per_dev: int, reps: int) -> dict:
@@ -160,6 +250,11 @@ def main():
     ap.add_argument("--mode", choices=["join", "plan"], default="join",
                     help="join: one shuffle join; plan: whole-plan "
                          "distributed execution (3-join star schema)")
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="exchange_chunks for --mode join (A/B the "
+                         "overlap-ready chunked exchange)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="per-phase timings + ICI-projected efficiency")
     ap.add_argument("--json", default=None)
     ap.add_argument("--child", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -168,7 +263,8 @@ def main():
         if args.mode == "plan":
             result = run_one_plan(args.child, args.rows, args.reps)
         else:
-            result = run_one(args.child, args.rows, args.skew, args.reps)
+            result = run_one(args.child, args.rows, args.skew, args.reps,
+                             args.chunks, args.breakdown)
         print("CHILD_RESULT " + json.dumps(result))
         return
 
@@ -184,7 +280,9 @@ def main():
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(ndev),
              "--rows", str(args.rows), "--skew", str(args.skew),
-             "--reps", str(args.reps), "--mode", args.mode],
+             "--reps", str(args.reps), "--mode", args.mode,
+             "--chunks", str(args.chunks)]
+            + (["--breakdown"] if args.breakdown else []),
             env=env, capture_output=True, text=True,
         )
         if proc.returncode != 0:
@@ -208,9 +306,52 @@ def main():
         print(f"{r['ndev']:>5} {r['probe_rows']:>12,} {r['out_rows']:>10,} "
               f"{r['s']*1e3:>9.2f} {r['probe_rows_per_s']/1e6:>9.2f} "
               f"{eff*100:>5.1f}%")
+    if args.breakdown:
+        _ici_projection(results)
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=2)
+
+
+def _ici_projection(results):
+    """Project each measured configuration onto real v5e ICI.
+
+    Model (documented in docs/PARITY.md): a 1-D ring embedded in the v5e
+    2-D torus uses 2 of the 4 ICI links per direction, so per-device
+    egress bandwidth is 2 x ici_gbps. The all_to_all moves
+    bytes_sent_per_dev off each device; with the chunked exchange the
+    collective overlaps local compute, so
+      t_step  = max(local_ms, t_ici_ms)     (overlapped)
+      t_step' = local_ms + t_ici_ms         (serial lower bound)
+    Projected weak-scaling efficiency = local / t_step: collective time
+    is the only per-ndev term (per-device compute is constant by
+    construction). The CPU-mesh wall numbers above measure host-core
+    saturation, NOT this — the virtual devices share physical cores."""
+    sys.path.insert(0, REPO)
+    from radixjoin_tpu import hardware
+
+    # CHIPS table directly (RJT_CHIP override honored): hardware.detect()
+    # would init the default backend, i.e. block on the TPU tunnel
+    chip = hardware.CHIPS[os.environ.get("RJT_CHIP", "v5e")]
+    egress_gbps = 2.0 * chip.ici_gbps
+    print(f"\nICI projection ({chip.name}: {chip.ici_gbps:.0f} GB/s/link, "
+          f"1-D ring = 2 links/direction -> {egress_gbps:.0f} GB/s egress)")
+    print(f"{'ndev':>5} {'local ms':>9} {'ici ms':>8} "
+          f"{'eff(overlap)':>12} {'eff(serial)':>11}")
+    for r in results:
+        if "bytes_sent_per_dev" not in r:
+            continue
+        t_ici = r["bytes_sent_per_dev"] / (egress_gbps * 1e9) * 1e3
+        local = r["local_sort_count_ms"] + r["phase_expand_ms"]
+        eff_ov = local / max(local, t_ici + 1e-9) if r["ndev"] > 1 else 1.0
+        eff_sr = local / (local + t_ici) if r["ndev"] > 1 else 1.0
+        r["ici_projection"] = {
+            "t_ici_ms": t_ici, "local_ms": local,
+            "eff_overlapped": eff_ov, "eff_serial": eff_sr,
+            "egress_gbps_assumed": egress_gbps,
+        }
+        print(f"{r['ndev']:>5} {local:>9.2f} {t_ici:>8.3f} "
+              f"{eff_ov*100:>11.1f}% {eff_sr*100:>10.1f}%")
 
 
 if __name__ == "__main__":
