@@ -195,27 +195,6 @@ def bench_fused_join(n: int, spec, reps: int) -> Measurement:
     return _measure("fused_join_e2e", out_rows, ms, min_bytes, spec)
 
 
-def bench_pallas_hash(n: int, spec, reps: int) -> Measurement:
-    from ..ops import pallas_kernels as pk
-
-    rng = np.random.default_rng(0)
-    keys = jnp.asarray(rng.integers(0, 1 << 31, n).astype(np.int32))
-    fn = lambda k: pk.hash_bucket(k, 128)
-    ms = _time(fn, (keys,), reps)
-    return _measure("pallas_hash_bucket", n, ms, n * 4 * 2, spec)
-
-
-def bench_pallas_hist(n: int, spec, reps: int) -> Measurement:
-    from ..ops import pallas_kernels as pk
-
-    rng = np.random.default_rng(0)
-    bucket = jnp.asarray(rng.integers(0, 128, n).astype(np.int32))
-    valid = jnp.ones(n, bool)
-    fn = lambda b, v: pk.radix_histogram(b, v, 128)
-    ms = _time(fn, (bucket, valid), reps)
-    return _measure("pallas_radix_hist", n, ms, n * 5, spec)
-
-
 def bench_pallas_block_join(n: int, spec, reps: int) -> Measurement:
     """Broadcast-equality lookup against a 512-row VMEM build side."""
     from ..ops import pallas_kernels as pk
@@ -228,16 +207,6 @@ def bench_pallas_block_join(n: int, spec, reps: int) -> Measurement:
     pv = jnp.ones(n, bool)
     ms = _time(pk.block_join_lookup, (bk, bv, pkeys, pv), reps)
     return _measure("pallas_block_join[B=512]", n, ms, n * 4 * 3, spec)
-
-
-def bench_pallas_bitmap(n: int, spec, reps: int) -> Measurement:
-    from ..ops import pallas_kernels as pk
-
-    rng = np.random.default_rng(0)
-    packed = jnp.asarray(rng.integers(0, 256, (n + 7) // 8).astype(np.uint8))
-    fn = lambda p: pk.bitmap_unpack(p, n)
-    ms = _time(fn, (packed,), reps)
-    return _measure("pallas_bitmap_unpack", n, ms, n // 8 + n, spec)
 
 
 def bench_join_merge(n: int, spec, reps: int, dtype=jnp.int32) -> Measurement:
@@ -263,10 +232,7 @@ CASES: Dict[str, Callable] = {
     "join_expand": bench_join_expand,
     "gather": bench_gather,
     "fused_join": bench_fused_join,
-    "pallas_hash": bench_pallas_hash,
-    "pallas_hist": bench_pallas_hist,
     "pallas_block_join": bench_pallas_block_join,
-    "pallas_bitmap": bench_pallas_bitmap,
 }
 
 

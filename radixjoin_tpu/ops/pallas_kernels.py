@@ -1,27 +1,26 @@
 """Pallas TPU kernels for the join engine's hot vector loops.
 
 Where the reference hand-rolls per-thread scalar loops (open-addressing
-probe src/execute.cpp:211-248, bitmap filter kernels inner_column.h:248-324,
-page-bitmap decode build_table.cpp:318-336), the TPU equivalents below are
-Mosaic kernels over 8x128 VPU tiles:
+probe src/execute.cpp:211-248, page-bitmap decode build_table.cpp:318-336),
+the TPU equivalents below are Mosaic kernels over 8x128 VPU tiles. Every
+kernel here has a production caller (VERDICT r1 #6):
 
-* :func:`bitmap_unpack` / :func:`bitmap_pack` — the page format's packed
-  NULL bitmaps <-> bool masks, on device (page header spec README.md:88-98).
-* :func:`hash_bucket` — 32-bit avalanche hash + power-of-two bucket id,
-  the radix partitioning front end (reference HashUtil, execute.cpp:16-41).
-* :func:`radix_histogram` — per-partition counts via one-hot accumulation
-  over a sequential chunk grid (reference histogram, execute.cpp:124-132).
-  The TPU scatter itself is a sort (ops/radix.py); the histogram feeds
-  partition sizing and skew detection (heavy-hitter counts).
+* :func:`window_gather` — VPU-speed random gather from small shared
+  tables (join small-window lookups, plan/executor.py).
+* :func:`paged_window_gather` — batched per-page window gather (the
+  device-side page decode, storage/device_decode.py).
 * :func:`block_join_lookup` — broadcast-equality join for SMALL build
   sides: every probe chunk is compared against the whole build side held
   in VMEM, (C_blk, B) at a time. For a few-hundred-row dimension table
   this replaces the reference's pointer-chasing hash probe with dense
   vector compares — the shape a 8x128 VPU is built for — and needs no
-  sort, no gather, no hash table.
-* :func:`compare_mask` — vectorized predicate kernel (EQ..GEQ) writing a
-  bool mask; the device twin of InnerColumn's branch-free comparison
-  kernels (inner_column.h:248-324).
+  sort, no gather, no hash table (RJT_BLOCK_JOIN, plan/executor.py).
+
+Deleted after r1 (docs/PARITY.md records why): bitmap_pack/unpack
+(superseded by fused XLA broadcast-shift-mask in device_decode),
+hash_bucket (no faster than the jnp murmur finalizer it would replace),
+radix_histogram (skew detection samples on the host, never on device),
+compare_mask (predicates evaluate host-side before page encode).
 
 All kernels run in Mosaic on TPU and fall back to `interpret=True`
 elsewhere (the CPU test mesh), selected once at trace time.
@@ -101,60 +100,6 @@ def _pad_to(x: jnp.ndarray, size: int, fill=0):
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
-
-
-# ---------------------------------------------------------------------------
-# NULL-bitmap pack/unpack (page codec, device side)
-# ---------------------------------------------------------------------------
-
-
-def _bitmap_unpack_kernel(bytes_ref, out_ref):
-    b = bytes_ref[:].astype(jnp.int32)  # (rows8, 1)
-    shifts = jax.lax.broadcasted_iota(jnp.int32, (b.shape[0], 8), 1)
-    bits = (b >> shifts) & 1  # (rows8, 8) little-endian per page spec
-    out_ref[:] = bits
-
-
-@functools.partial(jax.jit, static_argnames=("n",))
-def bitmap_unpack(packed: jnp.ndarray, n: int) -> jnp.ndarray:
-    """uint8 packed little-endian bitmap -> bool[n] (page spec: bit i of
-    byte j is row 8j+i, reference get_bitmap build_table.cpp:318-325)."""
-    n8 = _cdiv(max(n, 1), 8)
-    rows8 = _cdiv(n8, SUBLANE * LANE) * SUBLANE * LANE
-    b = _pad_to(packed.astype(jnp.uint8), rows8).reshape(rows8, 1)
-    bits = pl.pallas_call(
-        _bitmap_unpack_kernel,
-        out_shape=jax.ShapeDtypeStruct((rows8, 8), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(b)
-    return bits.reshape(-1)[:n].astype(bool)
-
-
-def _bitmap_pack_kernel(bits_ref, out_ref):
-    bits = bits_ref[:]  # (rows8, 8) int32 in {0,1}
-    weights = jnp.left_shift(
-        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, bits.shape, 1)
-    )
-    out_ref[:] = jnp.sum(bits * weights, axis=1, keepdims=True, dtype=jnp.int32)
-
-
-@jax.jit
-def bitmap_pack(mask: jnp.ndarray) -> jnp.ndarray:
-    """bool[n] -> uint8 packed little-endian bitmap (ceil(n/8) bytes)."""
-    n = mask.shape[0]
-    n8 = _cdiv(max(n, 1), 8)
-    rows8 = _cdiv(n8, SUBLANE * LANE) * SUBLANE * LANE
-    bits = _pad_to(mask.astype(jnp.int32), rows8 * 8).reshape(rows8, 8)
-    packed = pl.pallas_call(
-        _bitmap_pack_kernel,
-        out_shape=jax.ShapeDtypeStruct((rows8, 1), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(bits)
-    return packed.reshape(-1)[:n8].astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -326,111 +271,6 @@ def paged_window_gather(body: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Hash + bucket id (radix front end)
-# ---------------------------------------------------------------------------
-
-
-def _hash_bucket_kernel(keys_ref, out_ref, *, mask: int):
-    x = keys_ref[:].astype(jnp.uint32)
-    # murmur3 32-bit finalizer: full avalanche, cheap on a 32-bit VPU
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x85EBCA6B)
-    x = x ^ (x >> 13)
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> 16)
-    out_ref[:] = (x & jnp.uint32(mask)).astype(jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("num_buckets",))
-def hash_bucket(keys: jnp.ndarray, num_buckets: int) -> jnp.ndarray:
-    """int32 keys -> bucket id in [0, num_buckets) (pow2 buckets)."""
-    assert num_buckets & (num_buckets - 1) == 0
-    n = keys.shape[0]
-    npad = _cdiv(n, TILE) * TILE
-    k = _pad_to(keys.astype(jnp.int32), npad).reshape(npad // LANE, LANE)
-    out = pl.pallas_call(
-        functools.partial(_hash_bucket_kernel, mask=num_buckets - 1),
-        out_shape=jax.ShapeDtypeStruct(k.shape, jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(k)
-    return out.reshape(-1)[:n]
-
-
-# ---------------------------------------------------------------------------
-# Radix histogram (sequential chunk grid, accumulate in the output ref)
-# ---------------------------------------------------------------------------
-
-
-def _hist_kernel(bucket_ref, valid_ref, out_ref, *, num_buckets: int):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    # (r, 128) tiles: a (N, 1) layout would waste 128x VMEM (lane padding)
-    b = bucket_ref[:]
-    v = valid_ref[:] != 0
-    ppad = out_ref.shape[1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, ppad), 1)
-
-    # Mosaic cannot index a dynamic single lane, so bucket p's count is
-    # deposited via a predicated vector add (lane-iota mask) instead.
-    def body(p, acc):
-        cnt = jnp.sum(jnp.where((b == p) & v, 1, 0), dtype=jnp.int32)
-        return acc + jnp.where(lanes == p, cnt, 0).astype(jnp.int32)
-
-    acc = jax.lax.fori_loop(
-        0, num_buckets, body, jnp.zeros((1, ppad), jnp.int32)
-    )
-    out_ref[:] = out_ref[:] + acc
-
-
-def radix_histogram(
-    bucket_ids: jnp.ndarray,
-    valid: jnp.ndarray,
-    num_buckets: int,
-    chunk: int = 1 << 13,
-) -> jnp.ndarray:
-    """Per-bucket counts of valid rows (reference histogram loop,
-    execute.cpp:124-132; grid steps run sequentially on the TensorCore so
-    the accumulation into ``out_ref`` is race-free)."""
-    n = bucket_ids.shape[0]
-    npad = _cdiv(max(n, 1), chunk) * chunk
-    # invalid fill bucket = num_buckets (never counted)
-    b = _pad_to(bucket_ids.astype(jnp.int32), npad, fill=num_buckets).reshape(
-        npad // LANE, LANE
-    )
-    v = _pad_to(valid.astype(jnp.int32), npad, fill=0).reshape(
-        npad // LANE, LANE
-    )
-    out = _hist_core(b, v, num_buckets=num_buckets, chunk=chunk)
-    return out.reshape(-1)[:num_buckets]
-
-
-@functools.partial(_jit32, static_argnames=("num_buckets", "chunk"))
-def _hist_core(b, v, *, num_buckets: int, chunk: int):
-    rows = chunk // LANE
-    ppad = _cdiv(num_buckets, LANE) * LANE
-    grid = (b.shape[0] * LANE) // chunk
-    return pl.pallas_call(
-        functools.partial(_hist_kernel, num_buckets=num_buckets),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((rows, LANE), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, LANE), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, ppad), lambda i: (_I0, _I0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((1, ppad), jnp.int32),
-        interpret=_interpret(),
-    )(b, v)
-
-
-# ---------------------------------------------------------------------------
 # Broadcast-equality block join (small build sides)
 # ---------------------------------------------------------------------------
 
@@ -522,75 +362,3 @@ def _block_join_core(bh, bl, bv, ph, plo, pv, *, chunk: int):
     )(bh, bl, bv, ph, plo, pv)
 
 
-# ---------------------------------------------------------------------------
-# Predicate compare kernel (filter engine, device side)
-# ---------------------------------------------------------------------------
-
-_OPS = ("eq", "ne", "lt", "le", "gt", "ge")
-
-
-def _compare_kernel(xh_ref, xl_ref, out_ref, *, op: str, lit_hi: int, lit_lo: int):
-    """Lexicographic (hi signed, lo unsigned-as-bits) two-plane compare —
-    exact int64 semantics on a 32-bit vector unit."""
-    xh = xh_ref[:]
-    xl = xl_ref[:]
-    lh = jnp.int32(lit_hi)
-    ll = jnp.int32(lit_lo)
-    # unsigned compare of the low plane via sign-bit flip
-    flip = jnp.int32(-0x80000000)
-    xlu = xl ^ flip
-    llu = ll ^ flip
-    eq = (xh == lh) & (xl == ll)
-    lt = (xh < lh) | ((xh == lh) & (xlu < llu))
-    if op == "eq":
-        m = eq
-    elif op == "ne":
-        m = ~eq
-    elif op == "lt":
-        m = lt
-    elif op == "le":
-        m = lt | eq
-    elif op == "gt":
-        m = ~(lt | eq)
-    else:  # ge
-        m = ~lt
-    out_ref[:] = m.astype(jnp.int32)
-
-
-def compare_mask(values: jnp.ndarray, op: str, literal) -> jnp.ndarray:
-    """Branch-free comparison mask (device twin of the reference's
-    InnerColumn kernels, inner_column.h:248-324). Integer columns only;
-    INT64 is compared as hi/lo 32-bit planes."""
-    assert op in _OPS
-    n = values.shape[0]
-    npad = _cdiv(max(n, 1), TILE) * TILE
-    lit = int(literal)
-    if values.dtype == jnp.int64:
-        xh, xl = _split64(_pad_to(values, npad))
-    else:
-        xh = _pad_to(values.astype(jnp.int32), npad)
-        xl = jnp.zeros(npad, jnp.int32)
-        lit = lit << 32  # hi plane carries the value for 32-bit inputs
-    lit_hi = (lit >> 32) & 0xFFFFFFFF
-    lit_hi = lit_hi - (1 << 32) if lit_hi >= (1 << 31) else lit_hi
-    lit_lo = lit & 0xFFFFFFFF
-    lit_lo = lit_lo - (1 << 32) if lit_lo >= (1 << 31) else lit_lo
-    shape2 = (npad // LANE, LANE)
-    out = _compare_core(
-        xh.reshape(shape2), xl.reshape(shape2),
-        op=op, lit_hi=lit_hi, lit_lo=lit_lo,
-    )
-    return out.reshape(-1)[:n].astype(bool)
-
-
-@functools.partial(jax.jit, static_argnames=("op", "lit_hi", "lit_lo"))
-def _compare_core(xh, xl, *, op: str, lit_hi: int, lit_lo: int):
-    return pl.pallas_call(
-        functools.partial(
-            _compare_kernel, op=op, lit_hi=lit_hi, lit_lo=lit_lo
-        ),
-        out_shape=jax.ShapeDtypeStruct(xh.shape, jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(xh, xl)

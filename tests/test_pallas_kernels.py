@@ -10,38 +10,6 @@ import jax.numpy as jnp
 from radixjoin_tpu.ops import pallas_kernels as pk
 
 
-@pytest.mark.parametrize("n", [1, 7, 8, 1000, 8192, 10_001])
-def test_bitmap_roundtrip(n):
-    rng = np.random.default_rng(n)
-    mask = rng.random(n) > 0.4
-    packed = np.asarray(pk.bitmap_pack(jnp.asarray(mask)))
-    # little-endian bit order per the page spec
-    expected = np.packbits(mask, bitorder="little")
-    assert packed.tolist() == expected.tolist()
-    back = np.asarray(pk.bitmap_unpack(jnp.asarray(packed), n))
-    assert (back == mask).all()
-
-
-def test_hash_bucket_range_and_spread():
-    keys = jnp.asarray(np.arange(10_000, dtype=np.int32))
-    b = np.asarray(pk.hash_bucket(keys, 64))
-    assert b.min() >= 0 and b.max() < 64
-    counts = np.bincount(b, minlength=64)
-    assert counts.min() > 50  # avalanche: no empty/steamrolled buckets
-
-
-def test_radix_histogram_exact():
-    rng = np.random.default_rng(0)
-    n, p = 50_000, 32
-    bucket = rng.integers(0, p, n).astype(np.int32)
-    valid = rng.random(n) > 0.2
-    got = np.asarray(pk.radix_histogram(
-        jnp.asarray(bucket), jnp.asarray(valid), p
-    ))
-    expected = np.bincount(bucket[valid], minlength=p)
-    assert got.tolist() == expected.tolist()
-
-
 def test_block_join_lookup_unique():
     rng = np.random.default_rng(1)
     b, n = 256, 5000
@@ -70,16 +38,3 @@ def test_block_join_lookup_duplicates_counts():
     idx, cnt = pk.block_join_lookup(bk, bv, pkeys, pv)
     assert np.asarray(cnt).tolist() == [3, 1, 0]
     assert np.asarray(idx).tolist() == [0, 2, 128]
-
-
-@pytest.mark.parametrize("op,expected", [
-    ("eq", [False, True, False]),
-    ("ne", [True, False, True]),
-    ("lt", [True, False, False]),
-    ("le", [True, True, False]),
-    ("gt", [False, False, True]),
-    ("ge", [False, True, True]),
-])
-def test_compare_mask(op, expected):
-    x = jnp.asarray(np.array([1, 5, 9], np.int32))
-    assert np.asarray(pk.compare_mask(x, op, 5)).tolist() == expected
