@@ -30,14 +30,21 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("dist_chunks", [0, 3],
-                         ids=["monolithic", "chunked"])
-def test_two_process_cluster_runs_whole_plan(tmp_path, dist_chunks):
+@pytest.mark.parametrize("scenario,dist_chunks,nprocs", [
+    ("two_join", 0, 2),   # 3-join plan, VARCHAR keys, NULLs, mild skew
+    ("two_join", 3, 2),   # + chunked (overlap-ready) exchange over gloo
+    ("skew", 0, 2),       # heavy hitter takes 70% of the probe side
+    ("empty", 0, 2),      # zero-result root (learned-empty replay)
+    ("two_join", 0, 4),   # 4-process x 2-device decomposition
+], ids=["monolithic", "chunked", "skew", "empty", "fourproc"])
+def test_process_cluster_runs_whole_plan(tmp_path, scenario, dist_chunks,
+                                         nprocs):
     """dist_chunks=3 additionally pins the chunked (overlap-ready)
     exchange over REAL cross-process collectives — gloo's all_to_all is
-    a different implementation than the single-process CPU mesh's."""
+    a different implementation than the single-process CPU mesh's.
+    Every variant checks both a cold run and the sync-free warm replay
+    against the row oracle on every rank (VERDICT r1 #8)."""
     port = _free_port()
-    nprocs = 2
     env = dict(os.environ)
     # The workers pin their own platform/devices; scrub the parent's
     # pytest CPU-mesh flags so they don't leak an 8-device count.
@@ -51,7 +58,8 @@ def test_two_process_cluster_runs_whole_plan(tmp_path, dist_chunks):
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, "--pid", str(pid),
              "--nprocs", str(nprocs), "--port", str(port),
-             "--local-devices", "4", "--out", str(out),
+             "--local-devices", str(8 // nprocs), "--out", str(out),
+             "--scenario", scenario,
              "--dist-chunks", str(dist_chunks)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,

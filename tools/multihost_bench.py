@@ -118,34 +118,39 @@ def main():
         print(f"job cluster record -> {out}", flush=True)
         return
 
-    single = run_cluster(1, 8, args.rows, args.repeats)
-    print(f"1 proc x 8 dev: {single['best_ms']} ms "
-          f"({single['result_rows']} rows)", flush=True)
-    double = run_cluster(2, 4, args.rows, args.repeats)
-    print(f"2 proc x 4 dev: {double['best_ms']} ms "
-          f"({double['result_rows']} rows)", flush=True)
-    assert single["result_rows"] == double["result_rows"], "results differ!"
+    decomps = {}
+    for nprocs, local in [(1, 8), (2, 4), (4, 2)]:
+        rec = run_cluster(nprocs, local, args.rows, args.repeats)
+        decomps[nprocs] = rec
+        print(f"{nprocs} proc x {local} dev: mean {rec['mean_ms']} "
+              f"± {rec['sigma_ms']} ms (best {rec['best_ms']}, "
+              f"{rec['result_rows']} rows)", flush=True)
+    rows = {r["result_rows"] for r in decomps.values()}
+    assert len(rows) == 1, f"results differ across decompositions: {rows}"
 
-    eff = single["best_ms"] / double["best_ms"]
+    single = decomps[1]
     record = {
         "description": (
-            "same global shuffle join under 1x8 vs 2x4 process "
+            "same global shuffle join under 1x8 / 2x4 / 4x2 process "
             "decompositions of an 8-device CPU mesh (gloo cross-process "
-            "collectives; the DCN analogue available in this environment)"
+            "collectives; the DCN analogue available in this environment). "
+            "mean ± sigma over steady-state iterations (2 warmup "
+            "iterations dropped: compile + runtime settle)"
         ),
         "probe_rows": single["probe_rows"],
         "build_rows": single["build_rows"],
         "result_rows": single["result_rows"],
-        "single_process_ms": single["best_ms"],
-        "two_process_ms": double["best_ms"],
-        "cross_process_efficiency": round(eff, 3),
-        "single": single,
-        "double": double,
+        "cross_process_efficiency": {
+            str(np): round(single["mean_ms"] / decomps[np]["mean_ms"], 3)
+            for np in decomps
+        },
+        "decompositions": {str(np): decomps[np] for np in decomps},
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(record, f, indent=2)
-    print(f"cross-process efficiency: {eff:.1%} -> {args.out}", flush=True)
+    print(f"cross-process efficiency: "
+          f"{record['cross_process_efficiency']} -> {args.out}", flush=True)
 
 
 if __name__ == "__main__":

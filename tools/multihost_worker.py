@@ -30,7 +30,8 @@ def main():
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--out", required=True)
     ap.add_argument("--scenario", default="two_join",
-                    choices=["two_join", "bench_join", "job"])
+                    choices=["two_join", "skew", "empty", "bench_join",
+                             "job"])
     ap.add_argument("--bench-rows", type=int, default=1 << 20,
                     help="global probe rows for --scenario bench_join")
     ap.add_argument("--repeats", type=int, default=3)
@@ -90,9 +91,13 @@ def main():
         return [None if nz else int(v) for v, nz in zip(vals, nulls)]
 
     n_a, n_b, n_c = 3000, 800, 1200
-    # table a: fact side with a skewed FK (heavy hitter key 7)
+    # table a: fact side with a skewed FK (heavy hitter key 7);
+    # --scenario skew makes the hitter dominate (70% of the probe side —
+    # the hot-key broadcast path carries most of the join),
+    # --scenario empty disjoins the final VARCHAR join (zero-result root:
+    # pins the learned-empty distributed replay)
     fk = rng.integers(0, 600, n_a)
-    fk[rng.random(n_a) < 0.30] = 7
+    fk[rng.random(n_a) < (0.70 if args.scenario == "skew" else 0.30)] = 7
     rows_a = [
         [None if rng.random() < 0.03 else int(k), float(i) / 3.0, i]
         for i, k in enumerate(fk)
@@ -135,8 +140,10 @@ def main():
          (4, DataType.INT32)],
     )
     # table d: VARCHAR join key — pins the cross-process unified-dictionary
-    # path (host np.unique + replicated LUT upload on a multi-process mesh)
-    rows_d = [[f"name_{k}".encode(), int(k)] for k in range(0, 900, 3)]
+    # path (host np.unique + replicated LUT upload on a multi-process mesh);
+    # the empty scenario's d-keys match nothing
+    d_prefix = "gone" if args.scenario == "empty" else "name"
+    rows_d = [[f"{d_prefix}_{k}".encode(), int(k)] for k in range(0, 900, 3)]
     td = HostTable.from_rows(rows_d, [DataType.VARCHAR, DataType.INT32])
     sd = plan.new_scan_node(
         plan.new_input(ColumnarTable.from_host(td)),
@@ -313,14 +320,17 @@ def _bench_join(args):
 
     times = []
     total = None
-    for _ in range(max(1, args.repeats) + 1):  # first rep = warmup/compile
+    warmup = 2  # compile + runtime settle: both excluded from statistics
+    for _ in range(max(1, args.repeats) + warmup):
         t0 = time.perf_counter()
         columns, live, totals = distributed_join_device(
             kb, vb, bpl, kp, vp, ppl, mesh, hot_keys, hot_valid, config
         )
         total = int(np.sum(totals))  # host array (fetched by the ladder)
         times.append((time.perf_counter() - t0) * 1e3)
-    best = min(times[1:])
+    steady = times[warmup:]
+    mean = sum(steady) / len(steady)
+    sigma = (sum((t - mean) ** 2 for t in steady) / len(steady)) ** 0.5
     import jax
 
     record = {
@@ -330,7 +340,10 @@ def _bench_join(args):
         "probe_rows": n_probe,
         "build_rows": n_build,
         "result_rows": total,
-        "best_ms": round(best, 2),
+        "best_ms": round(min(steady), 2),
+        "mean_ms": round(mean, 2),
+        "sigma_ms": round(sigma, 2),
+        "warmup_dropped": warmup,
         "times_ms": [round(t, 2) for t in times],
     }
     if args.pid == 0:
