@@ -203,25 +203,60 @@ def join_merge_impl(
     n = bp + pp
     keys = jnp.concatenate([build_keys, probe_keys])
     valid = jnp.concatenate([build_valid, probe_valid])
-    side = jnp.concatenate(
-        [jnp.zeros(bp, jnp.uint8), jnp.ones(pp, jnp.uint8)]
-    )
     ids = jnp.concatenate(
         [
             jnp.arange(bp, dtype=jnp.int32),
             jnp.arange(pp, dtype=jnp.int32),
         ]
     )
-    invalid = (~valid).astype(jnp.uint8)
-    _, keys_s, side_s, ids_s, valid_s = jax.lax.sort(
-        (invalid, keys, side, ids, valid.astype(jnp.uint8)), num_keys=3
+    invalid64 = (~valid).astype(jnp.int64)
+    side64 = jnp.concatenate(
+        [jnp.zeros(bp, jnp.int64), jnp.ones(pp, jnp.int64)]
     )
+    # Pack the whole sort problem into as few i64 lanes as possible: the
+    # bitonic sort streams every operand through ~log^2(n) compare-
+    # exchange passes, so operand count IS the cost. 32-bit keys pack
+    # (invalid, key, side, id) into ONE i64 (5 operands -> 1); 64-bit
+    # keys saturate invalid keys to +MAX and sort two i64 lanes.
+    if keys.dtype == jnp.int32 and n < (1 << 29):
+        # [62] invalid | [30..61] key (sign-biased) | [29] side | [0..28] id
+        ukey = (keys.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)) ^ jnp.int64(
+            1 << 31
+        )
+        packed = (
+            (invalid64 << 62) | (ukey << 30) | (side64 << 29)
+            | ids.astype(jnp.int64)
+        )
+        (packed_s,) = jax.lax.sort((packed,), num_keys=1)
+        ids_s = (packed_s & jnp.int64((1 << 29) - 1)).astype(jnp.int32)
+        side_s = ((packed_s >> 29) & 1).astype(jnp.uint8)
+        valid_s = (1 - ((packed_s >> 62) & 1)).astype(jnp.uint8)
+        # run identity = key bits + invalid bit in one compare (the
+        # valid->invalid boundary break rides the invalid bit)
+        runkey = packed_s >> 30
+    else:
+        maxk = jnp.array(jnp.iinfo(keys.dtype).max, dtype=keys.dtype)
+        keysat = jnp.where(valid, keys, maxk)
+        # [33] invalid | [32] side | [0..31] id
+        packed = (invalid64 << 33) | (side64 << 32) | ids.astype(jnp.int64)
+        keysat_s, packed_s = jax.lax.sort((keysat, packed), num_keys=2)
+        ids_s = (packed_s & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        side_s = ((packed_s >> 32) & 1).astype(jnp.uint8)
+        valid_s = (1 - ((packed_s >> 33) & 1)).astype(jnp.uint8)
+        # a valid key equal to the saturation value must not merge with
+        # the invalid tail: fold the invalid bit into the run identity
+        runkey = (keysat_s, (packed_s >> 33) & 1)
+
     pos = jnp.arange(n, dtype=jnp.int32)
-    prev_key = jnp.concatenate([keys_s[:1], keys_s[:-1]])
-    prev_valid = jnp.concatenate([valid_s[:1], valid_s[:-1]])
-    # runs break on key change AND on the valid->invalid boundary (an
-    # invalid element whose key equals the last valid run must not join it)
-    is_start = (pos == 0) | (keys_s != prev_key) | (valid_s != prev_valid)
+
+    def _changed(a):
+        return jnp.concatenate([a[:1], a[:-1]]) != a
+
+    if isinstance(runkey, tuple):
+        new_run = _changed(runkey[0]) | _changed(runkey[1])
+    else:
+        new_run = _changed(runkey)
+    is_start = (pos == 0) | new_run
     run_start = jax.lax.cummax(jnp.where(is_start, pos, jnp.int32(0)))
     is_probe = (side_s == 1).astype(jnp.int32)
     probe_excl = jnp.cumsum(is_probe) - is_probe
