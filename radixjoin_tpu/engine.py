@@ -981,16 +981,44 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
             # alone still cannot fit, stream it through the host-staged
             # multi-pass radix executor
             clear_device_caches()
+            _settle_deallocs()
             try:
                 host = _run_on_device()
             except Exception as err2:  # noqa: BLE001
                 if not _is_oom(err2):
                     raise
                 clear_device_caches()
-                host = _execute_host_partitioned(
-                    plan, budget_bytes=budget // 8
-                )
+                _settle_deallocs(seconds=5.0)
+                try:
+                    host = _run_on_device()
+                except Exception as err3:  # noqa: BLE001
+                    if not _is_oom(err3):
+                        raise
+                    clear_device_caches()
+                    _settle_deallocs(seconds=5.0)
+                    host = _execute_host_partitioned(
+                        plan, budget_bytes=budget // 8
+                    )
     return _encode_result(host)
+
+
+def _settle_deallocs(seconds: float = 2.0) -> None:
+    """Wait for the runtime to actually release freed buffers.
+
+    The tunneled backend deallocates ASYNCHRONOUSLY: after
+    clear_device_caches() the HBM only returns once the service drains
+    its queue, so an immediate retry re-OOMs even though the working set
+    now fits (observed 2026-08-19: the sf1.0 suite died at query 6a in
+    every fast run while a 2.4x-slower run survived — the slow run gave
+    deallocation time to keep up). A device round trip orders the queue;
+    the sleep covers the service's reclaim latency."""
+    import time as _time
+
+    try:
+        jax.device_get(jnp.zeros(8, jnp.int32) + 1)
+    except Exception:  # noqa: BLE001 - the settle itself must never fail
+        pass
+    _time.sleep(seconds)
 
 
 def _encode_result(host: HostTable) -> ColumnarTable:
