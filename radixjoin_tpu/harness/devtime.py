@@ -52,12 +52,18 @@ class Measurement:
     min_bytes: int
     eff_gbps: float
     pct_roofline: float
+    #: False when a single-mode measurement landed below the RPC floor's
+    #: noise band — the floor subtraction is then meaningless and the
+    #: derived throughput must not be quoted (r2 verdict: "copy" once
+    #: printed 16,388% of roofline). Use slope mode for such kernels.
+    reliable: bool = True
 
     def row(self) -> str:
+        tail = "" if self.reliable else "  SUB-FLOOR (use slope mode)"
         return (
             f"{self.kernel:<26} {self.rows:>12,} {self.device_ms:>9.3f} "
             f"{self.rows_per_s/1e9:>8.3f}G {self.eff_gbps:>8.1f} "
-            f"{self.pct_roofline*100:>6.1f}%"
+            f"{self.pct_roofline*100:>6.1f}%{tail}"
         )
 
 
@@ -119,9 +125,9 @@ def measure_floor_ms(reps: int = 7) -> float:
 
 
 def single_time_ms(step, carry, reps: int = 5,
-                   floor_ms: Optional[float] = None) -> float:
+                   floor_ms: Optional[float] = None):
     """Device time of ONE ``step`` call: wall-clock through a full sync
-    minus the measured constant floor.
+    minus the measured constant floor. Returns ``(ms, reliable)``.
 
     The fori_loop slope (:func:`slope_time_ms`) is exact but its
     while-loop wrapper makes sort/scan-heavy join programs pathologically
@@ -129,7 +135,13 @@ def single_time_ms(step, carry, reps: int = 5,
     16M, measured 2026-08-19) — two programs per case is unusable. At
     multi-ms kernel sizes the constant floor (~27 ms RPC) is small
     relative to the kernel, so single-shot floor-subtraction is accurate
-    to a few percent; use sizes >= 4M rows with this mode."""
+    to a few percent; use sizes >= 4M rows with this mode.
+
+    ``reliable`` is False when the net time lands inside the floor's
+    noise band (net < 25% of the floor): the subtraction is then
+    meaningless and callers must not quote the derived throughput
+    (r2 verdict weak #4 — a sub-floor "copy" once printed 16,388% of
+    roofline)."""
     if floor_ms is None:
         floor_ms = measure_floor_ms()
     f = jax.jit(step)
@@ -143,10 +155,9 @@ def single_time_ms(step, carry, reps: int = 5,
 
     once()  # compile + settle
     once()
-    return max(
-        float(np.median([once() for _ in range(reps)]) * 1e3) - floor_ms,
-        1e-3,
-    )
+    raw_ms = float(np.median([once() for _ in range(reps)]) * 1e3)
+    net = raw_ms - floor_ms
+    return max(net, 1e-3), net >= 0.25 * floor_ms
 
 
 def _chain(arr, scalar):
@@ -167,11 +178,11 @@ def _consume(*arrays):
     return total
 
 
-def _measure(name, rows, ms, min_bytes, spec) -> Measurement:
+def _measure(name, rows, ms, min_bytes, spec, reliable=True) -> Measurement:
     eff = min_bytes / (ms * 1e-3) / 1e9 if ms > 0 else float("inf")
     return Measurement(
         name, rows, ms, rows / (ms * 1e-3) if ms > 0 else float("inf"),
-        min_bytes, eff, eff / spec.hbm_gbps,
+        min_bytes, eff, eff / spec.hbm_gbps, reliable,
     )
 
 
@@ -445,11 +456,12 @@ def main(argv=None):
           f"{'GB/s':>8} {'%roof':>7}")
     for name in names or list(CASES):
         step, carry, rows, min_bytes = CASES[name](args.size)
+        reliable = True
         if args.mode == "single":
-            ms = single_time_ms(step, carry, max(args.reps, 5), floor)
+            ms, reliable = single_time_ms(step, carry, max(args.reps, 5), floor)
         else:
             ms = slope_time_ms(step, carry, args.k_lo, args.k_hi, args.reps)
-        m = _measure(name, rows, ms, min_bytes, spec)
+        m = _measure(name, rows, ms, min_bytes, spec, reliable)
         results.append(m)
         print(m.row(), flush=True)
     if args.json:

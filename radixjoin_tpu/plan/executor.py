@@ -239,12 +239,12 @@ def _join_general_csr(
 
 
 def _csr_device(hcol):
-    """Upload memo for a column's CSR index: one transfer per process."""
+    """Upload memo for a column's CSR index: one transfer per process
+    (charged to the device ledger; evicted under memory pressure)."""
+    from .. import engine as _eng
+
     dev = getattr(hcol, "_csr_dev_memo", None)
     if dev is None:
-        from .. import engine as _eng
-
-        _eng.register_device_cache_col(hcol)  # OOM-recovery eviction hook
         idx = hcol.csr_index()
         if idx is None:
             dev = (None,)
@@ -256,7 +256,14 @@ def _csr_device(hcol):
                 jax.device_put(starts_w),
                 jax.device_put(grouped),
             )
+            _eng.device_ledger().charge(
+                hcol,
+                sum(a.size * a.dtype.itemsize for a in dev[1:]),
+                _eng._release_column_caches,
+            )
         object.__setattr__(hcol, "_csr_dev_memo", dev)
+    else:
+        _eng.device_ledger().touch(hcol)
     return None if dev == (None,) else dev
 
 
@@ -820,16 +827,22 @@ def _run_scan(eng, plan: Plan, idx: int, node) -> _NodeResult:
     return _NodeResult(cols, table.num_rows, pad, True, dicts)
 
 
+def _dev_col_bytes(dev) -> int:
+    return (dev.data.size * dev.data.dtype.itemsize
+            + dev.valid.size * dev.valid.dtype.itemsize)
+
+
 def _paged_column_cached(eng, pcol, num_rows: int, pad: int):
     """Device page-decode memo: one raw-page upload + on-chip decode per
     (paged column, pad) per process; ineligible columns memoize the miss
-    so the alignment header scan runs once."""
+    so the alignment header scan runs once. Charged to the device ledger
+    (evicted + re-decoded under memory pressure)."""
     memo = getattr(pcol, "_dev_memo", None)
     if memo is None:
         memo = {}
         object.__setattr__(pcol, "_dev_memo", memo)
-        eng.register_device_cache_col(pcol)  # OOM-recovery eviction hook
     if pad in memo:
+        eng.device_ledger().touch(pcol)
         return memo[pad]
     if memo.get("ineligible"):
         return None
@@ -838,20 +851,28 @@ def _paged_column_cached(eng, pcol, num_rows: int, pad: int):
         memo["ineligible"] = True
     else:
         memo[pad] = dev
+        eng.device_ledger().charge(
+            pcol, _dev_col_bytes(dev), eng._release_column_caches
+        )
     return dev
 
 
 def _device_column_cached(eng, hcol, pad: int):
-    """Upload memo: one transfer per (host column, pad) per process."""
+    """Upload memo: one transfer per (host column, pad) per process,
+    charged to the device ledger (evicted + re-uploaded under pressure)."""
     memo = getattr(hcol, "_dev_memo", None)
     if memo is None:
         memo = {}
         object.__setattr__(hcol, "_dev_memo", memo)
-        eng.register_device_cache_col(hcol)  # OOM-recovery eviction hook
     dev = memo.get(pad)
     if dev is None:
         dev = eng.host_column_to_device(hcol, pad)
         memo[pad] = dev
+        eng.device_ledger().charge(
+            hcol, _dev_col_bytes(dev), eng._release_column_caches
+        )
+    else:
+        eng.device_ledger().touch(hcol)
     return dev
 
 

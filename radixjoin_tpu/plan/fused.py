@@ -304,9 +304,19 @@ class FusedPlan:
 # Unified-dictionary remap memo for VARCHAR join keys. Keyed by object
 # identity of the two StringDicts — safe because dictionaries live for
 # the process lifetime in the per-column upload memo, and pinned here
-# regardless so ids can never be reused.
+# regardless so ids can never be reused. Small (JOB never joins on
+# strings, reference ANNOUNCEMENTS.md:11); dropped wholesale by
+# :func:`clear_remap_memo` under memory pressure.
 _REMAP_MEMO: Dict[Tuple[int, int], Tuple] = {}
 _REMAP_PIN: List = []
+
+
+def clear_remap_memo() -> None:
+    # drop refs only (no explicit .delete(): an in-flight VARCHAR-key
+    # query may still hold these in its FusedPlan aux_args) — GC frees
+    # them once the struct caches are dropped too
+    _REMAP_MEMO.clear()
+    _REMAP_PIN.clear()
 
 
 def _unified_remap(da, db):
