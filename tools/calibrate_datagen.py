@@ -30,6 +30,74 @@ PLANS = "/root/reference/plans.json"
 SQL_DIR = "/root/reference/job"
 
 
+REF_RUNTIMES = "/root/reference/benchmarks/run_b78733e.txt"
+
+
+def _reference_ms():
+    """Per-query runtimes of the reference's committed full-IMDB run —
+    the only real-data per-query heaviness signal available offline (the
+    1.2 GB IMDB dump cannot be downloaded here, so true cardinalities
+    cannot be computed; runtime is the proxy the suite total is built
+    from anyway, reference tests/read_sql.cpp:1243-1246)."""
+    import re
+
+    out = {}
+    with open(REF_RUNTIMES) as f:
+        for line in f:
+            m = re.match(r"Query (\S+) >> \s*Runtime: (\d+) ms", line)
+            if m:
+                out[m.group(1)] = int(m.group(2))
+    return out
+
+
+def correlate(record_path: str) -> dict:
+    """Rank-correlate the synthetic per-query result cardinalities
+    against the reference's real-IMDB per-query runtimes (r2 VERDICT #7:
+    are the bench's heavy queries the ones actually heavy on real
+    data?). Returns the analysis dict and embeds it into the record."""
+    with open(record_path) as f:
+        rec = json.load(f)
+    ref = _reference_ms()
+    common = sorted(set(rec["result_rows"]) & set(ref))
+    rows = [rec["result_rows"][q] for q in common]
+    ms = [ref[q] for q in common]
+
+    def ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        r = [0.0] * len(xs)
+        for pos, i in enumerate(order):
+            r[i] = float(pos)
+        return r
+
+    rr, rm = ranks(rows), ranks(ms)
+    n = len(common)
+    mean_r, mean_m = sum(rr) / n, sum(rm) / n
+    cov = sum((a - mean_r) * (b - mean_m) for a, b in zip(rr, rm))
+    var_r = sum((a - mean_r) ** 2 for a in rr)
+    var_m = sum((b - mean_m) ** 2 for b in rm)
+    spearman = cov / (var_r * var_m) ** 0.5
+    top_ref = sorted(common, key=lambda q: -ref[q])[:10]
+    top_syn = sorted(common, key=lambda q: -rec["result_rows"][q])[:10]
+    # outliers: rank difference > half the suite
+    off = sorted(
+        (q for a, b, q in zip(rr, rm, common) if abs(a - b) > n / 2),
+        key=lambda q: -abs(rr[common.index(q)] - rm[common.index(q)]),
+    )
+    analysis = {
+        "reference_run": REF_RUNTIMES,
+        "spearman_rows_vs_reference_ms": round(spearman, 3),
+        "queries_compared": n,
+        "top10_reference_ms": top_ref,
+        "top10_synthetic_rows": top_syn,
+        "top10_overlap": len(set(top_ref) & set(top_syn)),
+        "rank_outliers_gt_half_suite": off,
+    }
+    rec["reference_correlation"] = analysis
+    with open(record_path, "w") as f:
+        json.dump(rec, f, indent=2, sort_keys=True)
+    return analysis
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.1)
@@ -42,7 +110,17 @@ def main():
              "(one CPU process cannot compile all 113 query programs: "
              "LLVM exhausts vm.max_map_count)",
     )
+    ap.add_argument(
+        "--correlate", type=str, default=None, metavar="RECORD",
+        help="rank-correlate an existing calibration record against the "
+             "reference's real-IMDB per-query runtimes (no queries run)",
+    )
     args = ap.parse_args()
+
+    if args.correlate:
+        analysis = correlate(args.correlate)
+        print(json.dumps(analysis, indent=2))
+        return 0
 
     if args.chunk:
         return _chunked(args)
