@@ -14,7 +14,9 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CITE = re.compile(r"benchmarks/([A-Za-z0-9_.\-]+\.(?:json|md|txt))")
+#: matches our benchmarks/ citations; the negative lookbehind skips paths
+#: into the read-only reference snapshot (/root/reference/benchmarks/...)
+CITE = re.compile(r"(?<!reference/)benchmarks/([A-Za-z0-9_.\-]+\.(?:json|md|txt))")
 
 SCAN_DIRS = ["radixjoin_tpu", "tools", "docs", "tests"]
 SCAN_FILES = ["bench.py", "README.md"]
