@@ -835,6 +835,62 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
         return stop.value
 
 
+def precompile_fused(plan: Plan, context: Optional[Context] = None) -> bool:
+    """Compile — without executing — the plan's fused program at its
+    initial bucket state (VERDICT r2 #6, cold start).
+
+    XLA+Mosaic compilation runs on the remote compile service and is
+    embarrassingly parallel, while the execute-based warmup serializes
+    under device-memory admission control and pays real kernel time.
+    Phase-0 of the bench warmup calls this from a wide thread pool: it
+    resolves the column uploads (memoized — needed later anyway), then
+    lowers and compiles against ShapeDtypeStruct avals only, populating
+    the persistent compilation cache so the subsequent execute warmup's
+    compiles become disk hits. Returns False for plans the fused engine
+    cannot take (VARCHAR keys)."""
+    import os
+
+    from .plan import fused as fz
+
+    register_device_cache_plan(plan)
+    buckets: dict = {}
+    unique_joins = _detect_unique_joins(plan)
+    feedback_on = os.environ.get("RJT_CARD_FEEDBACK", "on") != "off"
+    if feedback_on and not hasattr(plan, "_learned_buckets"):
+        _feedback_store().load_into(plan)
+    learned = getattr(plan, "_learned_buckets", None) if feedback_on else None
+    if learned:
+        for i, (pad, was_compacted) in learned.items():
+            if was_compacted:
+                buckets.setdefault(i, pad)
+    budget = _hbm_budget()
+    est = min(_estimate_scan_bytes(plan), budget)
+    with device_ledger().reserve(est, budget):
+        structure = fz.FusedPlan(
+            plan, buckets, unique_joins, learned, frozenset()
+        )
+    if structure.has_varchar_key:
+        return False
+    state_key = (
+        tuple(sorted(buckets.items())),
+        tuple(sorted(learned.items())) if learned else None,
+        frozenset(),
+    )
+    plan._fused_struct_cache = (state_key, structure)
+    fn = fz.compile_plan(structure)
+    col_avals = tuple(
+        (jax.ShapeDtypeStruct(d.shape, d.dtype),
+         jax.ShapeDtypeStruct(v.shape, v.dtype))
+        for d, v in structure.col_args
+    )
+    aux_avals = tuple(
+        tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in aux)
+        for aux in structure.aux_args
+    )
+    fn.lower(col_avals, aux_avals).compile()
+    return True
+
+
 def _fused_attempts(plan: Plan, context: Optional[Context]):
     """Generator form of the fused executor: yields lists of device
     arrays whose fetched numpy values are sent back in, and returns the
@@ -874,7 +930,11 @@ def _fused_attempts(plan: Plan, context: Optional[Context]):
             frozenset(no_compact),
         )
         cached = getattr(plan, "_fused_struct_cache", None)
-        if cached is not None and cached[0] == state_key:
+        if (
+            cached is not None
+            and cached[0] == state_key
+            and cached[1].revalidate()
+        ):
             structure = cached[1]
         else:
             structure = fz.FusedPlan(

@@ -396,6 +396,90 @@ def case_join_csr(n: int):
     )
 
 
+def case_fill_starts(n: int):
+    """REJECTED expansion design, kept measurable: i64 packed scatter at
+    sorted starts + i64 cummax as a segmented value broadcast (would
+    have replaced the owner-attribute gathers in join_expand_*). On v5e
+    this measured 2,282 ms for 33.5M slots (0.015 G rows/s) — slower
+    than the three XLA gathers it replaces (i64 scatter/cummax are hi/lo
+    emulated), so the production expansion kept the i32-marker + gather
+    formulation. Recorded in benchmarks/roofline_v3 as the negative
+    result grounding that decision."""
+    rng = np.random.default_rng(0)
+    s_pad = 2 * n
+    gaps = rng.integers(1, 4, n)
+    starts_np = (np.cumsum(gaps) - gaps[0]).astype(np.int32)
+    starts_np = np.minimum(starts_np, s_pad)
+    starts = jnp.asarray(starts_np)
+    values = jnp.asarray(rng.integers(-(1 << 30), 1 << 30, n).astype(np.int32))
+
+    def step(c):
+        starts, values = c
+        rank1 = jnp.arange(1, n + 1, dtype=jnp.int64)
+        packed = (rank1 << 32) | (
+            values.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)
+        )
+        marker = jnp.full(s_pad + 1, -1, dtype=jnp.int64)
+        marker = marker.at[starts].max(packed, mode="drop")
+        filled = jax.lax.cummax(marker[:s_pad])
+        rank = (filled >> 32).astype(jnp.int32) - 1
+        val = (filled & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        return _chain(starts, _consume(rank, val)), values
+
+    min_bytes = n * 8 + s_pad * 8 * 2  # scatter write + cummax read/write
+    return step, (starts, values), s_pad, min_bytes
+
+
+def _case_window_gather(n: int, w: int):
+    from ..ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.integers(-(1 << 31), 1 << 31, w).astype(np.int32))
+    idx = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
+
+    def step(c):
+        tab, idx = c
+        (out,) = pk.window_gather([tab], idx)
+        return _chain(tab, _consume(out)), idx
+
+    return step, (tab, idx), n, n * 4 * 2 + w * 4
+
+
+def case_bwg_windowed(n: int):
+    """blocked_window_gather on expansion-shaped (block-windowed) indices
+    over a source far beyond any VMEM window."""
+    from ..ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(0)
+    s = n  # source as large as the index stream
+    src = jnp.asarray(rng.integers(-(1 << 31), 1 << 31, s).astype(np.int32))
+    base = np.minimum(np.arange(n) // 2, s - 600).astype(np.int32)
+    idx = jnp.asarray(
+        np.minimum(base + rng.integers(0, 500, n), s - 1).astype(np.int32)
+    )
+
+    def step(c):
+        src, idx = c
+        vals, ok = pk.blocked_window_gather(src, idx)
+        return _chain(src, _consume(vals, ok)), idx
+
+    return step, (src, idx), n, n * 4 * 3
+
+
+def case_xla_gather_win(n: int, w: int):
+    """XLA gather from the same small window (the routing baseline)."""
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.integers(-(1 << 31), 1 << 31, w).astype(np.int32))
+    idx = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
+
+    def step(c):
+        tab, idx = c
+        out = tab[idx]
+        return _chain(tab, _consume(out)), idx
+
+    return step, (tab, idx), n, n * 4 * 2 + w * 4
+
+
 CASES: Dict[str, Callable] = {
     "copy": case_copy,
     "gather": case_gather,
@@ -406,6 +490,15 @@ CASES: Dict[str, Callable] = {
     "join_dev_csr": case_join_dev_csr,
     "join_csr": case_join_csr,
     "unique_scatter": case_unique_scatter,
+    "fill_starts": case_fill_starts,
+    "kpass_gather_1k": lambda n: _case_window_gather(n, 1 << 10),
+    "kpass_gather_2k": lambda n: _case_window_gather(n, 1 << 11),
+    "kpass_gather_4k": lambda n: _case_window_gather(n, 1 << 12),
+    "kpass_gather_8k": lambda n: _case_window_gather(n, 1 << 13),
+    "kpass_gather_16k": lambda n: _case_window_gather(n, 1 << 14),
+    "bwg_windowed": case_bwg_windowed,
+    "xla_gather_4k": lambda n: case_xla_gather_win(n, 1 << 12),
+    "xla_gather_32k": lambda n: case_xla_gather_win(n, 1 << 15),
 }
 
 

@@ -49,20 +49,56 @@ MIN_BUCKET = 128
 
 
 def _use_pallas_gather(r_pad: int) -> bool:
-    """Route window lookups through the Mosaic lane-gather kernel.
+    """Route window lookups through the Mosaic gather kernels.
 
     XLA's gather lowers to a serial ~8.6 ns/element loop on TPU —
     0.116G rows/s at ANY window size or index order (measured 2026-08-19,
-    benchmarks/roofline_v2_16M.json). The Pallas kernel
+    benchmarks/roofline_v2_16M.json). The Mosaic K-pass lane-gather
     (ops/pallas_kernels.py window_gather) covers windows up to
-    WINDOW_GATHER_MAX at 4.5-36G rows/s (39-300x). Enum-table joins
-    (info_type, kind_type, role_type...) and small FK windows — the
-    majority of JOB join steps — all qualify."""
+    WINDOW_GATHER_MAX at 4.5-36G rows/s (20.4G measured at W=1024,
+    benchmarks/roofline_v3). Enum-table joins (info_type, kind_type,
+    role_type...) and small FK windows — the majority of JOB join
+    steps — all qualify."""
     from . import pallas_kernels as pk
 
     if os.environ.get("RJT_PALLAS_GATHER", "on") == "off":
         return False
     return r_pad <= pk.WINDOW_GATHER_MAX
+
+
+def gather_expand(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """``src[pos]`` tuned for the expansion's duplicate gathers.
+
+    ``pos`` (bpos/gpos) is *block-windowed*: run starts advance no faster
+    than output slots (join_expand_merge_impl), so nearly every block of
+    consecutive outputs reads a bounded span of ``src``. Routing:
+
+      * small ``src`` -> whole-table Mosaic K-pass window gather
+        (pallas_kernels.window_gather);
+      * large ``src`` -> pallas_kernels.blocked_window_gather with a
+        ``lax.cond``'d XLA-gather patch-up that only *executes* on
+        queries where some index missed its block window (giant skewed
+        runs crossing owner boundaries) — both branches compile once,
+        the fallback costs nothing when untaken.
+
+    ``pos`` must already be clamped to [0, len(src)). i32 src only.
+    """
+    from . import pallas_kernels as pk
+
+    if os.environ.get("RJT_PALLAS_GATHER", "on") == "off":
+        return src[pos]
+    if src.shape[0] <= pk.WINDOW_GATHER_MAX:
+        (out,) = pk.window_gather([src], pos)
+        return out
+    if os.environ.get("RJT_BWG", "on") == "off":
+        return src[pos]
+    vals, ok = pk.blocked_window_gather(src, pos)
+    nmiss = pos.shape[0] - jnp.sum(ok, dtype=jnp.int32)
+    return jax.lax.cond(
+        nmiss > 0,
+        lambda: jnp.where(ok != 0, vals, src[pos]),
+        lambda: vals,
+    )
 
 
 def bucket_size(n: int, minimum: int = MIN_BUCKET) -> int:
@@ -134,6 +170,7 @@ def join_expand_impl(
     offsets: jnp.ndarray,
     total: jnp.ndarray,
     s_pad: int,
+    pallas: bool = True,
 ):
     """Expansion pass: output position -> (build_row, probe_row, live).
 
@@ -146,6 +183,10 @@ def join_expand_impl(
     The owner lookup is a segmented broadcast: scatter each emitting probe's
     id at its output start, then a running max fills its run — two cheap
     vector ops instead of a per-slot binary search (TPU gathers are slow).
+
+    ``pallas=False`` keeps the expansion free of pallas_call (required
+    under shard_map: this JAX rejects pallas outputs without explicit
+    vma there — parallel/dist_join.py passes it).
     """
     pp = offsets.shape[0]
     total32 = total.astype(jnp.int32)
@@ -158,7 +199,7 @@ def join_expand_impl(
     j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[pidx]
     bpos = jnp.clip(lo[pidx] + within, 0, perm.shape[0] - 1)
-    bidx = perm[bpos]
+    bidx = gather_expand(perm, bpos) if pallas else perm[bpos]
     live = j < total32
     bidx = jnp.where(live, bidx, 0)
     pidx = jnp.where(live, pidx, 0)
@@ -276,6 +317,7 @@ def join_expand_merge_impl(
     offsets: jnp.ndarray,
     total: jnp.ndarray,
     s_pad: int,
+    pallas: bool = True,
 ):
     """Expansion for the merge join: output slot j -> (build_row,
     probe_row, live). Same scatter-max owner recovery as
@@ -293,7 +335,7 @@ def join_expand_merge_impl(
     j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[owner]
     bpos = jnp.clip(run_start[owner] + within, 0, n - 1)
-    bidx = ids_sorted[bpos]
+    bidx = gather_expand(ids_sorted, bpos) if pallas else ids_sorted[bpos]
     pidx = ids_sorted[owner]
     live = j < total32
     bidx = jnp.where(live, bidx, 0)
@@ -393,7 +435,7 @@ def join_unique_scatter_impl(
     if _use_pallas_gather(r_pad):
         from . import pallas_kernels as pk
 
-        (hit,) = pk.window_gather([slots], off_p)
+        (hit,) = pk.any_window_gather([slots], off_p)
     else:
         hit = slots[off_p]
     found = probe_valid & in_window & (hit >= 0)
@@ -442,7 +484,7 @@ def join_csr_impl(
     if _use_pallas_gather(r_pad):
         from . import pallas_kernels as pk
 
-        cnt_i32, start_i32 = pk.window_gather(
+        cnt_i32, start_i32 = pk.any_window_gather(
             [counts_w, starts_w], off_p
         )
     else:
@@ -464,7 +506,7 @@ def join_csr_impl(
     j = jnp.arange(s_pad, dtype=jnp.int32)
     within = j - offsets[pidx]
     gpos = jnp.clip(start[pidx] + within, 0, grouped.shape[0] - 1)
-    bidx = grouped[gpos]
+    bidx = gather_expand(grouped, gpos)
     live = j < total32
     bidx = jnp.where(live, bidx, 0)
     pidx = jnp.where(live, pidx, 0)

@@ -121,6 +121,14 @@ def _cdiv(a: int, b: int) -> int:
 #: ~= 0.5G rows/s, ~4x XLA's gather; beyond that XLA wins on VMEM reuse)
 WINDOW_GATHER_MAX = 4096
 
+
+def any_window_gather(tables, idx):
+    """Shared-index window lookup via the K-pass lane-gather. (The name
+    survives from a two-kernel router whose MXU one-hot tier was removed:
+    its (N,1) operand layout costs 128x HBM on TPU — see the
+    blocked-window section note.)"""
+    return window_gather(tables, idx)
+
 _WG_BLK = SUBLANE * LANE * 8  # 8192 probe elements per grid step
 
 
@@ -362,3 +370,133 @@ def _block_join_core(bh, bl, bv, ph, plo, pv, *, chunk: int):
     )(bh, bl, bv, ph, plo, pv)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Blocked-window gather: big-table gathers whose indices are locally dense
+# ---------------------------------------------------------------------------
+#
+# The join expansion's duplicate gathers (ids_sorted[bpos], grouped[gpos])
+# index into arrays far larger than any VMEM window, but their indices are
+# *block-windowed*: run starts advance no faster than output positions, so
+# any block of consecutive output slots draws from a bounded span of the
+# source (ops/join.py join_expand_merge_impl). This kernel scalar-
+# prefetches a per-block window start, rides the source window in via two
+# adjacent BlockSpec blocks (any span <= _BWG_WIN fits some aligned
+# 2*_BWG_WIN window), and selects in-window with the same K-pass
+# lane-gather as :func:`window_gather` — K = 2*_BWG_WIN/128 passes per
+# block regardless of source size. Rows whose index falls outside their
+# block's window report ok=0; the caller patches them with a lax.cond'd
+# XLA gather that only executes on the (skewed) queries that need it —
+# see ops/join.py gather_expand.
+#
+# Everything stays in natural (sublane, 128) tiling: an earlier MXU
+# one-hot row-select design needed (N, 1) column-vector operands, which
+# TPU tiles to (8, 128) — a 128x HBM blowup (16 GB at N=16M, compile-time
+# OOM) — and in-kernel (s,128)<->(T,1) reshapes crash this Mosaic
+# version's compiler.
+
+_BWG_BLK = 1024           # output elements per grid step -> (8, 128) block
+_BWG_WIN = 1024           # window alignment unit; coverage = 2 windows
+
+
+def _bwg_kernel(kblk_ref, win_a, win_b, idx_ref, val_ref, ok_ref,
+                *, win: int):
+    wrows = win // LANE
+    i = pl.program_id(0)
+    base = kblk_ref[i] * np.int32(win)
+    idx = idx_ref[:]                       # (s, 128) i32 absolute
+    rel = idx - base                       # in-window iff [0, 2*win)
+    # numeric in-window flag with i32 clip bounds throughout: bare Python
+    # ints in jnp.clip become i64 scalars under the engine's x64 trace,
+    # and Mosaic's i64->i32 convert lowering recurses forever
+    _i1 = np.int32(1)
+    ok = (
+        jnp.clip(rel + _i1, _I0, _i1)
+        * jnp.clip(np.int32(2 * win) - rel, _I0, _i1)
+    )
+    relc = jnp.clip(rel, _I0, np.int32(2 * win - 1))
+    lane = relc & np.int32(LANE - 1)
+    row = relc >> np.int32(7)
+    acc = jnp.zeros(idx.shape, jnp.int32)
+    for kk in range(2 * wrows):
+        src = win_a[kk, :] if kk < wrows else win_b[kk - wrows, :]
+        vals = jnp.broadcast_to(src[None, :], idx.shape)
+        g = _lane_gather(vals, lane)
+        acc = jnp.where(row == np.int32(kk), g, acc)
+    val_ref[:] = acc
+    ok_ref[:] = ok
+
+
+def blocked_window_gather(src: jnp.ndarray, idx: jnp.ndarray,
+                          win: int = _BWG_WIN):
+    """``(vals, ok)`` with ``vals[j] = src[idx[j]]`` wherever ``ok[j]``.
+
+    Each block of ``_BWG_BLK`` consecutive outputs gathers from the
+    2*``win``-entry aligned window containing its smallest index; rows
+    outside it get ``ok = 0`` (callers patch via fallback). ``idx`` must
+    already be clamped to [0, len(src)). ``win`` must be a multiple of
+    128. Traces clean inside x64 programs."""
+    assert win % LANE == 0
+    n = idx.shape[0]
+    s = src.shape[0]
+    npad = _cdiv(max(n, 1), _BWG_BLK) * _BWG_BLK
+    idx32 = idx.astype(jnp.int32)
+    # edge-pad: zero-fill would drag the last block's window start to 0,
+    # knocking its real entries out of window
+    idx_p = (
+        idx32 if npad == n
+        else jnp.pad(idx32, (0, npad - n), mode="edge")
+    )
+    nblocks = npad // _BWG_BLK
+    # per-block window start in aligned win-units (clamped so window B
+    # always exists)
+    kmax = _cdiv(s, win)  # src padded to (kmax + 1) * win below
+    blo = jnp.min(idx_p.reshape(nblocks, _BWG_BLK), axis=1)
+    kblk = jnp.clip(blo // np.int32(win), 0, max(kmax - 1, 0)).astype(
+        jnp.int32
+    )
+    wrows = win // LANE
+    src_p = _pad_to(src.astype(jnp.int32), (kmax + 1) * win)
+    src2d = src_p.reshape((kmax + 1) * wrows, LANE)
+    s_blk = _BWG_BLK // LANE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (wrows, LANE),
+                lambda i, kref: (kref[i], _I0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (wrows, LANE),
+                lambda i, kref: (kref[i] + 1, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (s_blk, LANE), lambda i, kref: (i, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (s_blk, LANE), lambda i, kref: (i, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (s_blk, LANE), lambda i, kref: (i, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    vals, ok = pl.pallas_call(
+        functools.partial(_bwg_kernel, win=win),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks * s_blk, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks * s_blk, LANE), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(kblk, src2d, src2d, idx_p.reshape(nblocks * s_blk, LANE))
+    return vals.reshape(-1)[:n], ok.reshape(-1)[:n]

@@ -247,7 +247,8 @@ def _expand_phase(groups, *, s_pad):
         g = groups[0]
         total = g["total"][0]
         bidx, pidx, live = join_ops.join_expand_merge_impl(
-            g["ids_s"], g["run_start"], g["offsets"], total, s_pad
+            g["ids_s"], g["run_start"], g["offsets"], total, s_pad,
+            pallas=False,  # pallas_call needs explicit vma under shard_map
         )
         out = {}
         out["__build_key"] = jnp.where(live, g["jk"][bidx], 0)
@@ -275,7 +276,8 @@ def _expand_phase(groups, *, s_pad):
     for g in groups:
         total = g["total"][0]
         bidx, pidx, live = join_ops.join_expand_merge_impl(
-            g["ids_s"], g["run_start"], g["offsets"], total, s_pad
+            g["ids_s"], g["run_start"], g["offsets"], total, s_pad,
+            pallas=False,  # pallas_call needs explicit vma under shard_map
         )
         pos = jnp.where(live, base + iota, s_pad)
         out["__build_key"] = out["__build_key"].at[pos].set(

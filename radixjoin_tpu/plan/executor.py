@@ -77,7 +77,7 @@ def _gather_cols(cols, idx, live):
                 specs.append((i, "i32", len(tables)))
                 tables.append(d)
             tables.append(v.astype(jnp.int32))
-        gs = pk.window_gather(tables, idx.astype(jnp.int32))
+        gs = pk.any_window_gather(tables, idx.astype(jnp.int32))
         out = []
         for (i, kind, t0) in specs:
             if kind == "i64":
@@ -244,6 +244,13 @@ def _csr_device(hcol):
     from .. import engine as _eng
 
     dev = getattr(hcol, "_csr_dev_memo", None)
+    if dev is not None and dev != (None,):
+        _eng.device_ledger().touch(hcol)
+        # entry may have been evicted between the memo read and the touch
+        # (concurrent reserve()): deleted buffers mean re-upload
+        if dev[1].is_deleted():
+            object.__setattr__(hcol, "_csr_dev_memo", None)
+            dev = None
     if dev is None:
         idx = hcol.csr_index()
         if idx is None:
@@ -262,8 +269,6 @@ def _csr_device(hcol):
                 _eng._release_column_caches,
             )
         object.__setattr__(hcol, "_csr_dev_memo", dev)
-    else:
-        _eng.device_ledger().touch(hcol)
     return None if dev == (None,) else dev
 
 
@@ -283,7 +288,8 @@ def _child_csr_index(plan: Plan, child_idx: int, attr: int,
         r = join_ops.bucket_size(rng[1] - rng[0] + 1)
         if r > max(1 << 20, 32 * (bpad + ppad)):
             return None  # window too sparse vs the sort cost
-    return _csr_device(hcol)
+    dev = _csr_device(hcol)
+    return None if dev is None else (dev, hcol)
 
 
 def _origin_host_column(plan: Plan, node_idx: int, attr: int):
@@ -376,16 +382,16 @@ def _general_csr_index(plan: Plan, j, battr: int, pattr: int,
     mode = os.environ.get("RJT_CSR_JOIN", "auto")
     if mode == "off":
         return None
-    idx = _child_csr_index(
+    hit = _child_csr_index(
         plan, j.left if j.build_left else j.right, battr, bpad, ppad, mode
     )
-    if idx is not None:
-        return idx, False
-    idx = _child_csr_index(
+    if hit is not None:
+        return hit[0], False, hit[1]
+    hit = _child_csr_index(
         plan, j.right if j.build_left else j.left, pattr, ppad, bpad, mode
     )
-    if idx is not None:
-        return idx, True
+    if hit is not None:
+        return hit[0], True, hit[1]
     return None
 
 
@@ -843,7 +849,10 @@ def _paged_column_cached(eng, pcol, num_rows: int, pad: int):
         object.__setattr__(pcol, "_dev_memo", memo)
     if pad in memo:
         eng.device_ledger().touch(pcol)
-        return memo[pad]
+        dev = memo[pad]
+        if not dev.data.is_deleted():
+            return dev
+        memo.pop(pad, None)  # evicted between memo read and touch
     if memo.get("ineligible"):
         return None
     dev = eng.paged_column_to_device(pcol, num_rows, pad)
@@ -865,14 +874,17 @@ def _device_column_cached(eng, hcol, pad: int):
         memo = {}
         object.__setattr__(hcol, "_dev_memo", memo)
     dev = memo.get(pad)
+    if dev is not None:
+        eng.device_ledger().touch(hcol)
+        if dev.data.is_deleted():
+            memo.pop(pad, None)  # evicted between memo read and touch
+            dev = None
     if dev is None:
         dev = eng.host_column_to_device(hcol, pad)
         memo[pad] = dev
         eng.device_ledger().charge(
             hcol, _dev_col_bytes(dev), eng._release_column_caches
         )
-    else:
-        eng.device_ledger().touch(hcol)
     return dev
 
 
@@ -971,7 +983,7 @@ def _run_join(
             plan, j, battr, pattr, kb.shape[0], kp.shape[0]
         )
         if csr is not None:
-            (base, counts_w, starts_w, grouped), swapped = csr
+            (base, counts_w, starts_w, grouped), swapped, _csr_owner = csr
             if swapped:
                 # the *probe* child is the indexed scan: feed the build
                 # side's keys through the kernel's probe role; the

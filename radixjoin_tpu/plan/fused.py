@@ -118,6 +118,9 @@ class FusedPlan:
         self.col_args: List[Tuple] = []
         #: per-join aux operands: scatter -> (base,), csr -> (base, c, s, g)
         self.aux_args: List[Tuple] = []
+        #: ledger owners (host/paged columns) whose memos back col_args /
+        #: aux_args — re-touched on every struct-cache hit (revalidate)
+        self.source_owners: List = []
         #: packed col id -> StringDict or None (dictionary provenance)
         self.dicts: List = []
         # node -> per-output-attr packed col id (for root dict lookup)
@@ -139,18 +142,21 @@ class FusedPlan:
                     if key not in packed:
                         # raw-page upload + on-chip decode where aligned;
                         # host decode + dense upload otherwise
+                        owner = table.columns[col_idx]
                         dev = _ex._paged_column_cached(
-                            eng, table.columns[col_idx], table.num_rows, pad
+                            eng, owner, table.num_rows, pad
                         )
                         if dev is None:
                             if host is None:
                                 host = table.to_host()
+                            owner = host.columns[col_idx]
                             dev = _ex._device_column_cached(
-                                eng, host.columns[col_idx], pad
+                                eng, owner, pad
                             )
                         packed[key] = len(self.col_args)
                         self.col_args.append((dev.data, dev.valid))
                         self.dicts.append(dev.dictionary)
+                        self.source_owners.append(owner)
                     col_ids.append(packed[key])
                 self.scan_specs[idx] = _ScanSpec(pad, tuple(col_ids))
                 self.col_sources[idx] = tuple(col_ids)
@@ -207,10 +213,11 @@ class FusedPlan:
                     plan, j, battr, pattr, pads[bchild], pads[pchild]
                 )
                 if csr is not None:
-                    (base, counts_w, starts_w, grouped), swapped = csr
+                    (base, counts_w, starts_w, grouped), swapped, owner = csr
                     strategy = "csr_swapped" if swapped else "csr"
                     aux_id = len(self.aux_args)
                     self.aux_args.append((base, counts_w, starts_w, grouped))
+                    self.source_owners.append(owner)
                 elif key_dtype in (DataType.INT32, DataType.INT64):
                     # both children intermediate: device-built CSR over
                     # the key's origin base-column window (one build-side
@@ -262,6 +269,30 @@ class FusedPlan:
         self.join_order = [i for i in self.order if i in self.join_specs]
         self.root_pad = pads[plan.root]
 
+
+    def revalidate(self) -> bool:
+        """Struct-cache hits reuse device arrays resolved on a previous
+        run. Re-touch their ledger owners under the caller's active
+        reservation token — protecting them from concurrent eviction for
+        the rest of this query — then verify nothing was already evicted
+        (a concurrent ``reserve()`` may have deleted a cached buffer
+        between this plan's runs: the concurrent-admission
+        use-after-free, tests/test_ledger.py). False means rebuild; the
+        rebuild re-resolves the column memos, re-uploading what was
+        evicted."""
+        from .. import engine as _eng
+
+        ledger = _eng.device_ledger()
+        for o in self.source_owners:
+            ledger.touch(o)
+        for d, v in self.col_args:
+            if d.is_deleted() or v.is_deleted():
+                return False
+        for aux in self.aux_args:
+            for a in aux:
+                if hasattr(a, "is_deleted") and a.is_deleted():
+                    return False
+        return True
 
     def _varchar_dev_csr(self, bchild, battr, pchild, pattr, bpad, ppad):
         """VARCHAR join key lowering: ``(swapped, aux, r_pad)`` or None.
