@@ -54,6 +54,8 @@ def _emit(total_ms, scale, n_queries, partial=False):
     }
     if "batch_wall_ms" in _partial:
         detail["batch_wall_ms"] = _partial["batch_wall_ms"]
+    if "phase_times" in _partial:
+        detail["warmup_phase_s"] = _partial["phase_times"]
     if _partial["stage_totals"]:
         # suite-wide stage split (best pass): how much of the serial
         # total is program dispatch vs result fetch (the tunnel's ~27 ms
@@ -256,52 +258,72 @@ def main():
 
     from radixjoin_tpu.engine import execute
 
-    # Warmup pass: execute every query once across a thread pool. XLA
-    # compiles the suite's distinct kernel shapes concurrently (measured
-    # ~4x with 4 threads on the remote-compile backend; a sort-containing
-    # program costs ~15s to compile regardless of size), so a cold cache
-    # fills in minutes instead of hours. Results are discarded.
+    # Staged cold-start warmup (VERDICT r3 #4: 142 s precompile + 936 s
+    # warmup because the precompiled executables were thrown away and the
+    # warmup's SECOND executions compiled feedback-specialized shapes
+    # phase-0 never saw). Now:
+    #   0a. wide precompile of the initial-state programs — the AOT
+    #       executables are RETAINED (plan/fused.py compiled_plan) and
+    #       the execute path calls them directly;
+    #   0b. one execute per query (learns cardinality feedback);
+    #   0c. wide precompile of the feedback-specialized programs (only
+    #       queries whose state changed compile anything new);
+    #   0d. one more execute per query = the steady-state shape.
+    # Each phase logs elapsed + the slowest plans so a regression is
+    # attributable to a phase, not a 936 s blob.
     warm_threads = int(os.environ.get("BENCH_WARMUP_THREADS", "8"))
     if warm_threads > 0:
         import concurrent.futures as cf
 
-        # phase 0: compile-only precompile at high parallelism — remote
-        # XLA/Mosaic compiles are the cold-start wall (371 s at r2), and
-        # unlike executions they need no device memory, so they go as
-        # wide as the compile service allows (VERDICT r2 #6)
+        from radixjoin_tpu import engine as _eng
+
         pre_threads = int(os.environ.get("BENCH_PRECOMPILE_THREADS", "24"))
-        if pre_threads > 0:
-            _partial["stage"] = "precompile"
+        phase_times = {}
+
+        def _run_phase(tag, threads, fn):
+            _partial["stage"] = tag
             t_p = time.perf_counter()
+            times = {}
 
-            from radixjoin_tpu import engine as _eng
-
-            def precompile(name):
+            def timed(name):
+                t0 = time.perf_counter()
                 try:
-                    _eng.precompile_fused(plans[name], harness.context)
-                except Exception:  # noqa: BLE001 - warmup is best-effort
-                    pass
+                    fn(name)
+                except Exception as e:  # noqa: BLE001 - best-effort
+                    log(f"bench: {tag}[{name}] failed: "
+                        f"{type(e).__name__}: {str(e)[:150]}")
+                times[name] = time.perf_counter() - t0
 
-            with cf.ThreadPoolExecutor(pre_threads) as ex:
-                list(ex.map(precompile, names))
-            log(f"bench: precompile ({pre_threads} threads) took "
-                f"{time.perf_counter()-t_p:.1f}s")
+            with cf.ThreadPoolExecutor(threads) as ex:
+                list(ex.map(timed, names))
+            dt = time.perf_counter() - t_p
+            phase_times[tag] = round(dt, 1)
+            slow = sorted(times.items(), key=lambda kv: -kv[1])[:5]
+            log(f"bench: {tag} ({threads} threads) took {dt:.1f}s; "
+                f"slowest: "
+                + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
 
-        _partial["stage"] = "warmup"
-        t_w = time.perf_counter()
+        def precompile(name):
+            _eng.precompile_fused(plans[name], harness.context)
+
         rows_by_name = {}
 
-        def warm(name):
-            rows_by_name[name] = execute(plans[name], harness.context).num_rows
+        def warm1(name):
+            rows_by_name[name] = execute(
+                plans[name], harness.context
+            ).num_rows
             _partial["result_rows"] += rows_by_name[name]
-            # second execution: compile the cardinality-feedback shapes
-            # (exact per-join buckets) in the parallel warmup too
+
+        def warm2(name):
             execute(plans[name], harness.context)
 
-        with cf.ThreadPoolExecutor(warm_threads) as ex:
-            list(ex.map(warm, names))
-        log(f"bench: warmup ({warm_threads} threads) took "
-            f"{time.perf_counter()-t_w:.1f}s")
+        if pre_threads > 0:
+            _run_phase("precompile", pre_threads, precompile)
+        _run_phase("warmup-exec1", warm_threads, warm1)
+        if pre_threads > 0:
+            _run_phase("precompile-feedback", pre_threads, precompile)
+        _run_phase("warmup-exec2", warm_threads, warm2)
+        _partial["phase_times"] = phase_times
 
     per_query = _partial["per_query"]
     for it in range(max(1, repeat)):

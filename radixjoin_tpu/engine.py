@@ -640,14 +640,24 @@ class DeviceLedger:
             e.seq = self._seq
             e.users.update(self._tokens())
 
-    def touch(self, owner) -> None:
+    def touch(self, owner) -> bool:
+        """LRU-touch ``owner``'s entry and attribute it to the thread's
+        active query token (protecting it from eviction for the rest of
+        the query). Returns False when the entry is GONE — the owner was
+        evicted (pop + release run atomically under this same lock, so a
+        True return means the owner's buffers were live at this instant
+        and are now token-protected). Callers treating a cached buffer
+        as valid MUST check this result; a bare memo read after a False
+        touch is the r6 sf1.0 use-after-free (VERDICT r3 #1b)."""
         key = id(owner)
         with self._cond:
             e = self._entries.get(key)
-            if e is not None:
-                self._seq += 1
-                e.seq = self._seq
-                e.users.update(self._tokens())
+            if e is None:
+                return False
+            self._seq += 1
+            e.seq = self._seq
+            e.users.update(self._tokens())
+            return True
 
     def _forget(self, key) -> None:
         with self._cond:
@@ -877,17 +887,11 @@ def precompile_fused(plan: Plan, context: Optional[Context] = None) -> bool:
         frozenset(),
     )
     plan._fused_struct_cache = (state_key, structure)
-    fn = fz.compile_plan(structure)
-    col_avals = tuple(
-        (jax.ShapeDtypeStruct(d.shape, d.dtype),
-         jax.ShapeDtypeStruct(v.shape, v.dtype))
-        for d, v in structure.col_args
-    )
-    aux_avals = tuple(
-        tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in aux)
-        for aux in structure.aux_args
-    )
-    fn.lower(col_avals, aux_avals).compile()
+    # compile AND retain the executable (fz._compiled_exec memo): the
+    # subsequent execute path calls the same AOT object — no re-trace,
+    # no re-lower, no executable re-load (r3's precompile compiled to a
+    # thrown-away object and warmup paid the whole bill again)
+    fz.compiled_plan(structure)
     return True
 
 
@@ -943,7 +947,7 @@ def _fused_attempts(plan: Plan, context: Optional[Context]):
             plan._fused_struct_cache = (state_key, structure)
         if structure.has_varchar_key:
             return None  # caller falls back to the stepwise engine
-        fn = fz.compile_plan(structure)
+        fn = fz.compiled_plan(structure)
         out_values_dev, out_valid_dev, totals_dev = fn(
             tuple(structure.col_args), tuple(structure.aux_args)
         )

@@ -286,25 +286,36 @@ def case_join_merge(n: int):
     return step, (bk, bv, pk, pv), n, min_bytes
 
 
+def _exact_out_pad(bk, pk) -> int:
+    """Exact fan-out of the synthetic workload, host-side — the bucket a
+    production run would learn via cardinality feedback. (The v3 record's
+    cases padded to bucket_size(2.5n) = 2x the real output, double-
+    charging every output-size op.)"""
+    bk_np, pk_np = np.asarray(bk), np.asarray(pk)
+    counts = np.bincount(bk_np, minlength=int(pk_np.max()) + 1)
+    return join_ops.bucket_size(int(counts[pk_np].sum()))
+
+
 def case_join_merge_e2e(n: int):
-    """General join end-to-end: merge count + expand + 2-col materialize
-    (fan-out ~2: output ~2n rows)."""
+    """General join end-to-end, production formulation: merge count +
+    zero-serial-gather materialization (join_merge_materialize_impl) of
+    one build + one probe payload column, at the exact learned bucket."""
     b, bk, bv, pk, pv = _dup_inputs(n)
     rng = np.random.default_rng(1)
     bpay = jnp.asarray(rng.integers(0, 1 << 30, b).astype(np.int32))
     ppay = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
-    s_pad = join_ops.bucket_size(2 * n + n // 2)
+    s_pad = _exact_out_pad(bk, pk)
 
     def step(c):
         bk, bv, pk, pv, bpay, ppay = c
         ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
             bk, bv, pk, pv
         )
-        bidx, pidx, live = join_ops.join_expand_merge_impl(
-            ids_s, run_start, offsets, total, s_pad
+        out_b, out_p, live = join_ops.join_merge_materialize_impl(
+            ids_s, run_start, offsets, total, s_pad,
+            [(bpay, bv)], [(ppay, pv)],
         )
-        ob, op = bpay[bidx], ppay[pidx]
-        s = total + _consume(ob, op, live)
+        s = total + _consume(out_b[0][0], out_p[0][0], live)
         return _chain(bk, s), bv, pk, pv, bpay, ppay
 
     out_rows = 2 * n  # expected fan-out
@@ -319,7 +330,7 @@ def case_join_dev_csr(n: int):
     bpay = jnp.asarray(rng.integers(0, 1 << 30, b).astype(np.int32))
     ppay = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
     r_pad = join_ops.bucket_size(max(b // 2, 128))
-    s_pad = join_ops.bucket_size(2 * n + n // 2)
+    s_pad = _exact_out_pad(bk, pk)
     base = jnp.zeros((), jnp.int64)
 
     def step(c):
@@ -327,7 +338,12 @@ def case_join_dev_csr(n: int):
         bidx, pidx, live, total = join_ops.join_dev_csr_impl(
             bk, bv, pk, pv, base, r_pad, s_pad
         )
-        ob, op = bpay[bidx], ppay[pidx]
+        # production shape (fused._trace): build payloads by bidx
+        # (random), probe payloads by the monotone pidx (blocked-window)
+        from ..ops.join import gather_expand_multi
+
+        (ob,) = gather_expand_multi([bpay], bidx)
+        (op,) = gather_expand_multi([ppay], pidx, windowed=True)
         s = total + _consume(ob, op, live)
         return _chain(bk, s), bv, pk, pv, bpay, ppay
 
@@ -375,14 +391,17 @@ def case_join_csr(n: int):
     )
     grouped = jnp.pad(grouped, (0, join_ops.bucket_size(b) - b))
     base = jnp.zeros((), jnp.int64)
-    s_pad = join_ops.bucket_size(2 * n + n // 2)
+    s_pad = _exact_out_pad(bk, pk)
 
     def step(c):
         counts_w, starts_w, grouped, pk, pv, bpay, ppay = c
         bidx, pidx, live, total = join_ops.join_csr_impl(
             counts_w, starts_w, grouped, pk, pv, base, s_pad
         )
-        ob, op = bpay[bidx], ppay[pidx]
+        from ..ops.join import gather_expand_multi
+
+        (ob,) = gather_expand_multi([bpay], bidx)
+        (op,) = gather_expand_multi([ppay], pidx, windowed=True)
         s = total + _consume(ob, op, live)
         return counts_w, starts_w, _chain(grouped, s), pk, pv, bpay, ppay
 
@@ -403,8 +422,11 @@ def case_fill_starts(n: int):
     this measured 2,282 ms for 33.5M slots (0.015 G rows/s) — slower
     than the three XLA gathers it replaces (i64 scatter/cummax are hi/lo
     emulated), so the production expansion kept the i32-marker + gather
-    formulation. Recorded in benchmarks/roofline_v3 as the negative
-    result grounding that decision."""
+    formulation (whose owner-stream lookups now ride the blocked-window
+    pass, benchmarks/roofline_v3.json). This case IS the committed record
+    of the negative result; the 2,282 ms figure is quoted inline because
+    re-measuring a rejected design on every record refresh wastes chip
+    time."""
     rng = np.random.default_rng(0)
     s_pad = 2 * n
     gaps = rng.integers(1, 4, n)

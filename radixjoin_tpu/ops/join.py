@@ -52,13 +52,14 @@ def _use_pallas_gather(r_pad: int) -> bool:
     """Route window lookups through the Mosaic gather kernels.
 
     XLA's gather lowers to a serial ~8.6 ns/element loop on TPU —
-    0.116G rows/s at ANY window size or index order (measured 2026-08-19,
-    benchmarks/roofline_v2_16M.json). The Mosaic K-pass lane-gather
-    (ops/pallas_kernels.py window_gather) covers windows up to
-    WINDOW_GATHER_MAX at 4.5-36G rows/s (20.4G measured at W=1024,
-    benchmarks/roofline_v3). Enum-table joins (info_type, kind_type,
-    role_type...) and small FK windows — the majority of JOB join
-    steps — all qualify."""
+    0.116G rows/s at ANY window size or index order (measured 2026-08-20,
+    benchmarks/roofline_v3.json: gather/xla_gather_4k/xla_gather_32k all
+    0.116-0.143G). The Mosaic K-pass lane-gather (ops/pallas_kernels.py
+    window_gather) covers windows up to WINDOW_GATHER_MAX at >= 6.6G
+    rows/s (kpass_gather_4k, a floor-limited lower bound — the kernel
+    finishes under the tunnel's 28 ms RPC floor at 16M rows). Enum-table
+    joins (info_type, kind_type, role_type...) and small FK windows —
+    the majority of JOB join steps — all qualify."""
     from . import pallas_kernels as pk
 
     if os.environ.get("RJT_PALLAS_GATHER", "on") == "off":
@@ -66,20 +67,30 @@ def _use_pallas_gather(r_pad: int) -> bool:
     return r_pad <= pk.WINDOW_GATHER_MAX
 
 
-def gather_expand(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+def gather_expand(
+    src: jnp.ndarray, pos: jnp.ndarray, windowed: bool = False
+) -> jnp.ndarray:
     """``src[pos]`` tuned for the expansion's duplicate gathers.
 
-    ``pos`` (bpos/gpos) is *block-windowed*: run starts advance no faster
-    than output slots (join_expand_merge_impl), so nearly every block of
-    consecutive outputs reads a bounded span of ``src``. Routing:
+    Routing:
 
       * small ``src`` -> whole-table Mosaic K-pass window gather
-        (pallas_kernels.window_gather);
-      * large ``src`` -> pallas_kernels.blocked_window_gather with a
-        ``lax.cond``'d XLA-gather patch-up that only *executes* on
-        queries where some index missed its block window (giant skewed
-        runs crossing owner boundaries) — both branches compile once,
-        the fallback costs nothing when untaken.
+        (pallas_kernels.window_gather) — any index order;
+      * large ``src`` AND ``windowed=True`` ->
+        pallas_kernels.blocked_window_gather with a ``lax.cond``'d
+        XLA-gather patch-up that only *executes* on queries where some
+        index missed its block window — both branches compile once, the
+        fallback costs nothing when untaken;
+      * large ``src``, unwindowed -> plain XLA gather.
+
+    ``windowed`` asserts that ``pos`` is *block-windowed*: consecutive
+    output positions read a bounded span of ``src``. That is structural
+    ONLY for the merge expansion (join_expand_merge_impl: run starts
+    advance no faster than output slots). The CSR/hash expansions'
+    ``start[pidx]+within`` / ``lo[pidx]+within`` jump arbitrarily between
+    probes, so blocked_window_gather would mostly miss and then pay the
+    Pallas pass PLUS the full fallback gather — slower than XLA alone
+    (ADVICE r3 #2; A/B in benchmarks/roofline_v3.json).
 
     ``pos`` must already be clamped to [0, len(src)). i32 src only.
     """
@@ -90,7 +101,7 @@ def gather_expand(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     if src.shape[0] <= pk.WINDOW_GATHER_MAX:
         (out,) = pk.window_gather([src], pos)
         return out
-    if os.environ.get("RJT_BWG", "on") == "off":
+    if not windowed or os.environ.get("RJT_BWG", "on") == "off":
         return src[pos]
     vals, ok = pk.blocked_window_gather(src, pos)
     nmiss = pos.shape[0] - jnp.sum(ok, dtype=jnp.int32)
@@ -99,6 +110,52 @@ def gather_expand(src: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         lambda: jnp.where(ok != 0, vals, src[pos]),
         lambda: vals,
     )
+
+
+def _stacked_take(tables, pos):
+    """``[t[pos] for t in tables]`` as ONE stacked XLA gather: TPU gather
+    cost is per *index*, not per element, so K equal-length i32 tables
+    stacked into (K, N) and gathered once cost ~1/K of K separate
+    gathers (measured in plan/executor.py _gather_cols)."""
+    if len(tables) == 1:
+        return [tables[0][pos]]
+    m = jnp.stack(tables)
+    g = m[:, pos]
+    return [g[t] for t in range(len(tables))]
+
+
+def gather_expand_multi(tables, pos, windowed: bool = False):
+    """``[t[pos] for t in tables]`` for equal-length i32 tables sharing
+    one index stream — the batched form of :func:`gather_expand`.
+
+    One index stream costs one lookup pass no matter how many tables
+    ride it (Mosaic kernels select per table inside the pass; the XLA
+    fallback is a stacked gather), so callers should batch every lookup
+    keyed by the same positions: the expansion's offsets/run-starts and
+    all pre-sorted payload planes share their owner/bpos streams.
+
+    ``windowed`` as in :func:`gather_expand`. ``pos`` must be clamped to
+    [0, len) already. i32 tables only (callers split i64 into hi/lo
+    planes and encode bool as i32)."""
+    from . import pallas_kernels as pk
+
+    tables = list(tables)
+    n0 = tables[0].shape[0]
+    assert all(t.shape[0] == n0 for t in tables), "equal lengths required"
+    if os.environ.get("RJT_PALLAS_GATHER", "on") == "off":
+        return _stacked_take(tables, pos)
+    if n0 <= pk.WINDOW_GATHER_MAX:
+        return pk.window_gather(tables, pos)
+    if not windowed or os.environ.get("RJT_BWG", "on") == "off":
+        return _stacked_take(tables, pos)
+    vals, ok = pk.blocked_window_gather_multi(tables, pos)
+    nmiss = pos.shape[0] - jnp.sum(ok, dtype=jnp.int32)
+
+    def _patch():
+        fb = _stacked_take(tables, pos)
+        return [jnp.where(ok != 0, v, f) for v, f in zip(vals, fb)]
+
+    return list(jax.lax.cond(nmiss > 0, _patch, lambda: list(vals)))
 
 
 def bucket_size(n: int, minimum: int = MIN_BUCKET) -> int:
@@ -311,6 +368,24 @@ def join_merge_impl(
     return ids_s, run_start, counts, offsets, total
 
 
+def _merge_owner_recovery(offsets, total, s_pad: int):
+    """Shared scatter-max owner recovery over combined positions:
+    ``owner[j]`` = combined slot owning output j (monotone), plus the
+    live mask. Same formulation as :func:`join_expand_impl`."""
+    n = offsets.shape[0]
+    total32 = total.astype(jnp.int32)
+    counts_nonzero = jnp.diff(jnp.append(offsets, total32)) > 0
+    starts = jnp.where(counts_nonzero, offsets, s_pad)
+    marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
+    marker = marker.at[starts].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    owner = jnp.clip(jax.lax.cummax(marker[:s_pad]), 0, n - 1)
+    j = jnp.arange(s_pad, dtype=jnp.int32)
+    live = j < total32
+    return owner, j, live
+
+
 def join_expand_merge_impl(
     ids_sorted: jnp.ndarray,
     run_start: jnp.ndarray,
@@ -321,26 +396,137 @@ def join_expand_merge_impl(
 ):
     """Expansion for the merge join: output slot j -> (build_row,
     probe_row, live). Same scatter-max owner recovery as
-    :func:`join_expand_impl`, but over combined positions."""
+    :func:`join_expand_impl`, but over combined positions.
+
+    The owner-indexed lookups (offsets/run_start/ids_sorted) share the
+    monotone ``owner`` stream in ONE multi-table blocked-window pass, and
+    the ``bpos`` lookup is block-windowed (run starts advance no faster
+    than output slots) — so no output-size serial XLA gather remains on
+    this path (benchmarks/roofline_v3.json: XLA gather 0.116 G rows/s vs
+    blocked-window 4.6+ G)."""
     n = offsets.shape[0]
-    total32 = total.astype(jnp.int32)
-    counts_nonzero = jnp.diff(jnp.append(offsets, total32)) > 0
-    starts = jnp.where(counts_nonzero, offsets, s_pad)
-    marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
-    marker = marker.at[starts].max(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    owner, j, live = _merge_owner_recovery(offsets, total, s_pad)
+    if pallas:
+        offs_g, rs_g, pidx = gather_expand_multi(
+            [offsets, run_start, ids_sorted], owner, windowed=True
+        )
+    else:
+        offs_g, rs_g, pidx = offsets[owner], run_start[owner], ids_sorted[owner]
+    within = j - offs_g
+    bpos = jnp.clip(rs_g + within, 0, n - 1)
+    bidx = (
+        gather_expand(ids_sorted, bpos, windowed=True)
+        if pallas else ids_sorted[bpos]
     )
-    owner = jax.lax.cummax(marker[:s_pad])
-    owner = jnp.clip(owner, 0, n - 1)
-    j = jnp.arange(s_pad, dtype=jnp.int32)
-    within = j - offsets[owner]
-    bpos = jnp.clip(run_start[owner] + within, 0, n - 1)
-    bidx = gather_expand(ids_sorted, bpos) if pallas else ids_sorted[bpos]
-    pidx = ids_sorted[owner]
-    live = j < total32
     bidx = jnp.where(live, bidx, 0)
     pidx = jnp.where(live, pidx, 0)
     return bidx, pidx, live
+
+
+def _split_planes(cols):
+    """(data, valid) pairs -> flat i32 planes + a reassembly spec.
+    i64 data rides as (hi, lo) i32 planes; validity as an i32 plane."""
+    from . import pallas_kernels as pk
+
+    planes, specs = [], []
+    for d, v in cols:
+        if d.dtype == jnp.int64:
+            hi, lo = pk._split64(d)
+            specs.append(("i64", len(planes)))
+            planes.extend((hi, lo))
+        else:
+            specs.append(("i32", len(planes)))
+            planes.append(d.astype(jnp.int32))
+        planes.append(v.astype(jnp.int32))
+    return planes, specs
+
+
+def _join_planes(gathered, specs, live):
+    out = []
+    for kind, t0 in specs:
+        if kind == "i64":
+            hi64 = gathered[t0].astype(jnp.int64) << 32
+            lo64 = jax.lax.bitcast_convert_type(
+                gathered[t0 + 1], jnp.uint32
+            ).astype(jnp.int64)
+            data = hi64 | lo64
+            gv = gathered[t0 + 2]
+        else:
+            data = gathered[t0]
+            gv = gathered[t0 + 1]
+        out.append((data, (gv != 0) & live))
+    return out
+
+
+def join_merge_materialize_impl(
+    ids_sorted: jnp.ndarray,
+    run_start: jnp.ndarray,
+    offsets: jnp.ndarray,
+    total: jnp.ndarray,
+    s_pad: int,
+    build_cols,
+    probe_cols,
+):
+    """Expansion + late materialization for the merge join with zero
+    output-size serial gathers (VERDICT r3 #3: the payload
+    materialization gathers dominated ``join_merge_e2e`` at 4.6 s /
+    0.013%% of roofline).
+
+    The output-size random gathers ``col[bidx]`` / ``col[pidx]`` are
+    random because bidx/pidx carry *original row ids*. Instead:
+
+    1. pre-gather every payload column into **combined-sorted order**
+       (``col[ids_sorted]``) — one stacked random gather per side at
+       (B+P) size, amortized across all columns (gather cost is per
+       index, not per element);
+    2. the output-size lookups then use sorted *positions*: build
+       payloads by ``bpos`` (block-windowed) and probe payloads by
+       ``owner`` (monotone) — both ride multi-table blocked-window
+       Mosaic passes at ~40x XLA's serial gather, sharing their streams
+       with the expansion's own offsets/run_start lookups.
+
+    ``build_cols`` / ``probe_cols``: sequences of (data, valid) device
+    arrays (i32/i64 data). Returns ``(out_build, out_probe, live)`` with
+    outputs as (data, valid & live) in the ``s_pad`` bucket, exactly
+    matching the contract (and results) of gathering by bidx/pidx.
+
+    Replaces the reference's per-row projection loop
+    (src/execute.cpp:236-243) — late materialization at full vector
+    width, reference semantics (padding rows carry valid=False).
+    """
+    n = offsets.shape[0]
+    owner, j, live = _merge_owner_recovery(offsets, total, s_pad)
+
+    # 1. pre-gather payloads into combined-sorted order (stacked per side)
+    def _presort(cols):
+        """-> (sorted i32 planes, reassembly specs)."""
+        if not cols:
+            return [], []
+        ln = cols[0][0].shape[0]
+        ci = jnp.clip(ids_sorted, 0, ln - 1)
+        planes, specs = _split_planes(cols)
+        return _stacked_take(planes, ci), specs
+
+    b_planes, b_specs = _presort(list(build_cols))
+    p_planes, p_specs = _presort(list(probe_cols))
+
+    # 2. owner stream: expansion lookups + every probe payload plane
+    got = gather_expand_multi(
+        [offsets, run_start] + p_planes, owner, windowed=True
+    )
+    offs_g, rs_g, p_got = got[0], got[1], got[2:]
+    within = j - offs_g
+    bpos = jnp.clip(rs_g + within, 0, n - 1)
+
+    # 3. bpos stream: every build payload plane
+    b_got = (
+        gather_expand_multi(b_planes, bpos, windowed=True)
+        if b_planes else []
+    )
+
+    out_b = _join_planes(b_got, b_specs, live)
+    out_p = _join_planes(p_got, p_specs, live)
+    return out_b, out_p, live
 
 
 def join_unique_impl(
@@ -488,7 +674,9 @@ def join_csr_impl(
             [counts_w, starts_w], off_p
         )
     else:
-        cnt_i32, start_i32 = counts_w[off_p], starts_w[off_p]
+        # stacked: both window lookups share one index stream (gather
+        # cost is per index, not per element)
+        cnt_i32, start_i32 = _stacked_take([counts_w, starts_w], off_p)
     cnt = jnp.where(in_window, cnt_i32, 0)
     start = start_i32
     offsets = jnp.cumsum(cnt) - cnt
@@ -504,12 +692,24 @@ def join_csr_impl(
     pidx = jax.lax.cummax(marker[:s_pad])
     pidx = jnp.clip(pidx, 0, pp - 1)
     j = jnp.arange(s_pad, dtype=jnp.int32)
-    within = j - offsets[pidx]
-    gpos = jnp.clip(start[pidx] + within, 0, grouped.shape[0] - 1)
+    # pidx is monotone (cummax), so the offsets/start lookups ride one
+    # multi-table blocked-window pass; gpos jumps arbitrarily between
+    # probes (grouped-by-key positions), so the grouped lookup stays on
+    # the unwindowed route (XLA / small-window Mosaic) — ADVICE r3 #2
+    offs_g, start_g = gather_expand_multi(
+        [offsets, start], pidx, windowed=True
+    )
+    within = j - offs_g
+    gpos = jnp.clip(start_g + within, 0, grouped.shape[0] - 1)
     bidx = gather_expand(grouped, gpos)
     live = j < total32
     bidx = jnp.where(live, bidx, 0)
-    pidx = jnp.where(live, pidx, 0)
+    # pidx is NOT zeroed on dead rows: the cummax keeps it monotone (and
+    # in-bounds) across the whole pad, so downstream payload gathers can
+    # ride the blocked-window pass — zero-filling the dead tail would
+    # break the boundary block's window and trigger the full fallback
+    # gather on every non-pad-aligned join. Dead rows are masked by
+    # ``live`` everywhere downstream.
     return bidx, pidx, live, total
 
 

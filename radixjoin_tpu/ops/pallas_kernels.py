@@ -400,8 +400,11 @@ _BWG_BLK = 1024           # output elements per grid step -> (8, 128) block
 _BWG_WIN = 1024           # window alignment unit; coverage = 2 windows
 
 
-def _bwg_kernel(kblk_ref, win_a, win_b, idx_ref, val_ref, ok_ref,
-                *, win: int):
+def _bwg_kernel(*refs, win: int, tables: int):
+    kblk_ref = refs[0]
+    idx_ref = refs[1 + 2 * tables]
+    val_refs = refs[2 + 2 * tables: 2 + 3 * tables]
+    ok_ref = refs[2 + 3 * tables]
     wrows = win // LANE
     i = pl.program_id(0)
     base = kblk_ref[i] * np.int32(win)
@@ -418,28 +421,39 @@ def _bwg_kernel(kblk_ref, win_a, win_b, idx_ref, val_ref, ok_ref,
     relc = jnp.clip(rel, _I0, np.int32(2 * win - 1))
     lane = relc & np.int32(LANE - 1)
     row = relc >> np.int32(7)
-    acc = jnp.zeros(idx.shape, jnp.int32)
+    accs = [jnp.zeros(idx.shape, jnp.int32) for _ in range(tables)]
     for kk in range(2 * wrows):
-        src = win_a[kk, :] if kk < wrows else win_b[kk - wrows, :]
-        vals = jnp.broadcast_to(src[None, :], idx.shape)
-        g = _lane_gather(vals, lane)
-        acc = jnp.where(row == np.int32(kk), g, acc)
-    val_ref[:] = acc
+        hit = row == np.int32(kk)
+        for t in range(tables):
+            win_a, win_b = refs[1 + 2 * t], refs[2 + 2 * t]
+            src = win_a[kk, :] if kk < wrows else win_b[kk - wrows, :]
+            vals = jnp.broadcast_to(src[None, :], idx.shape)
+            g = _lane_gather(vals, lane)
+            accs[t] = jnp.where(hit, g, accs[t])
+    for t in range(tables):
+        val_refs[t][:] = accs[t]
     ok_ref[:] = ok
 
 
-def blocked_window_gather(src: jnp.ndarray, idx: jnp.ndarray,
-                          win: int = _BWG_WIN):
-    """``(vals, ok)`` with ``vals[j] = src[idx[j]]`` wherever ``ok[j]``.
+def blocked_window_gather_multi(tables, idx: jnp.ndarray,
+                                win: int = _BWG_WIN):
+    """``(vals_list, ok)`` with ``vals_list[t][j] = tables[t][idx[j]]``
+    wherever ``ok[j]``. All tables share one index stream and one window
+    selection (sized by the LONGEST table), so K tables ride a single
+    kernel launch — the expansion's owner-indexed lookups and the
+    pre-sorted payload columns all share their index stream
+    (ops/join.py). Tables may have different lengths; ``idx`` must be
+    clamped to [0, len(t)) per use site (shorter tables are zero-padded
+    to the longest, so in-range indexes of each table read real data).
 
     Each block of ``_BWG_BLK`` consecutive outputs gathers from the
     2*``win``-entry aligned window containing its smallest index; rows
-    outside it get ``ok = 0`` (callers patch via fallback). ``idx`` must
-    already be clamped to [0, len(src)). ``win`` must be a multiple of
-    128. Traces clean inside x64 programs."""
+    outside it get ``ok = 0`` (callers patch via fallback). ``win`` must
+    be a multiple of 128. Traces clean inside x64 programs (i32 only)."""
     assert win % LANE == 0
+    tables = list(tables)
     n = idx.shape[0]
-    s = src.shape[0]
+    s = max(t.shape[0] for t in tables)
     npad = _cdiv(max(n, 1), _BWG_BLK) * _BWG_BLK
     idx32 = idx.astype(jnp.int32)
     # edge-pad: zero-fill would drag the last block's window start to 0,
@@ -451,52 +465,64 @@ def blocked_window_gather(src: jnp.ndarray, idx: jnp.ndarray,
     nblocks = npad // _BWG_BLK
     # per-block window start in aligned win-units (clamped so window B
     # always exists)
-    kmax = _cdiv(s, win)  # src padded to (kmax + 1) * win below
+    kmax = _cdiv(s, win)  # srcs padded to (kmax + 1) * win below
     blo = jnp.min(idx_p.reshape(nblocks, _BWG_BLK), axis=1)
     kblk = jnp.clip(blo // np.int32(win), 0, max(kmax - 1, 0)).astype(
         jnp.int32
     )
     wrows = win // LANE
-    src_p = _pad_to(src.astype(jnp.int32), (kmax + 1) * win)
-    src2d = src_p.reshape((kmax + 1) * wrows, LANE)
+    srcs2d = [
+        _pad_to(t.astype(jnp.int32), (kmax + 1) * win).reshape(
+            (kmax + 1) * wrows, LANE
+        )
+        for t in tables
+    ]
     s_blk = _BWG_BLK // LANE
+    nt = len(tables)
+
+    def _win_a(i, kref):
+        return (kref[i], _I0)
+
+    def _win_b(i, kref):
+        return (kref[i] + 1, _I0)
+
+    def _stream(i, kref):
+        return (i, _I0)
+
+    in_specs = []
+    operands = []
+    for t in range(nt):
+        in_specs.append(pl.BlockSpec(
+            (wrows, LANE), _win_a, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (wrows, LANE), _win_b, memory_space=pltpu.VMEM))
+        operands.extend((srcs2d[t], srcs2d[t]))
+    in_specs.append(pl.BlockSpec(
+        (s_blk, LANE), _stream, memory_space=pltpu.VMEM))
+    operands.append(idx_p.reshape(nblocks * s_blk, LANE))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(
-                (wrows, LANE),
-                lambda i, kref: (kref[i], _I0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (wrows, LANE),
-                lambda i, kref: (kref[i] + 1, _I0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (s_blk, LANE), lambda i, kref: (i, _I0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec(
-                (s_blk, LANE), lambda i, kref: (i, _I0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (s_blk, LANE), lambda i, kref: (i, _I0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+            pl.BlockSpec((s_blk, LANE), _stream, memory_space=pltpu.VMEM)
+        ] * (nt + 1),
     )
-    vals, ok = pl.pallas_call(
-        functools.partial(_bwg_kernel, win=win),
+    outs = pl.pallas_call(
+        functools.partial(_bwg_kernel, win=win, tables=nt),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nblocks * s_blk, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks * s_blk, LANE), jnp.int32),
-        ],
+            jax.ShapeDtypeStruct((nblocks * s_blk, LANE), jnp.int32)
+        ] * (nt + 1),
         interpret=_interpret(),
-    )(kblk, src2d, src2d, idx_p.reshape(nblocks * s_blk, LANE))
-    return vals.reshape(-1)[:n], ok.reshape(-1)[:n]
+    )(kblk, *operands)
+    vals = [o.reshape(-1)[:n] for o in outs[:nt]]
+    ok = outs[nt].reshape(-1)[:n]
+    return vals, ok
+
+
+def blocked_window_gather(src: jnp.ndarray, idx: jnp.ndarray,
+                          win: int = _BWG_WIN):
+    """Single-table form of :func:`blocked_window_gather_multi`."""
+    vals, ok = blocked_window_gather_multi([src], idx, win)
+    return vals[0], ok

@@ -49,7 +49,7 @@ from .ir import JoinNode, Plan, ScanNode
 # ---------------------------------------------------------------------------
 
 
-def _gather_cols(cols, idx, live):
+def _gather_cols(cols, idx, live, windowed: bool = False):
     """Late materialization with BATCHED gathers: TPU gather cost is per
     instruction, so K same-dtype columns stacked into a (K, pad) matrix
     and gathered once run ~Kx faster than K separate gathers (measured
@@ -60,38 +60,24 @@ def _gather_cols(cols, idx, live):
     and small dimension scan) instead ride the Mosaic lane-gather kernel
     at 4.5-36G rows/s vs XLA's fixed 0.116G rows/s (ops/pallas_kernels.py
     window_gather); i64 data gathers as hi/lo i32 planes, validity as an
-    i32 plane, all in ONE kernel call."""
+    i32 plane, all in ONE kernel call.
+
+    ``windowed=True`` asserts ``idx`` is monotone/block-windowed (the
+    CSR expansion's ``pidx``): large sources then ride the multi-table
+    blocked-window Mosaic pass instead of serial XLA gathers (same
+    fallback ladder as ops/join.py gather_expand_multi)."""
     if not cols:
         return ()
     pad = cols[0][0].shape[0]
-    if join_ops._use_pallas_gather(pad):
-        from ..ops import pallas_kernels as pk
-
-        tables, specs = [], []
-        for i, (d, v) in enumerate(cols):
-            if d.dtype == jnp.int64:
-                hi, lo = pk._split64(d)
-                specs.append((i, "i64", len(tables)))
-                tables.extend((hi, lo))
-            else:
-                specs.append((i, "i32", len(tables)))
-                tables.append(d)
-            tables.append(v.astype(jnp.int32))
-        gs = pk.any_window_gather(tables, idx.astype(jnp.int32))
-        out = []
-        for (i, kind, t0) in specs:
-            if kind == "i64":
-                hi64 = gs[t0].astype(jnp.int64) << 32
-                lo64 = jax.lax.bitcast_convert_type(
-                    gs[t0 + 1], jnp.uint32
-                ).astype(jnp.int64)
-                data = hi64 | lo64
-                gv = gs[t0 + 2]
-            else:
-                data = gs[t0]
-                gv = gs[t0 + 1]
-            out.append((data, (gv != 0) & live))
-        return tuple(out)
+    if join_ops._use_pallas_gather(pad) or (
+        windowed
+        and join_ops.os.environ.get("RJT_PALLAS_GATHER", "on") != "off"
+    ):
+        tables, specs = join_ops._split_planes(cols)
+        gs = join_ops.gather_expand_multi(
+            tables, idx.astype(jnp.int32), windowed=windowed
+        )
+        return tuple(join_ops._join_planes(gs, specs, live))
     outs = [None] * len(cols)
     groups: Dict = {}
     for i, (d, _v) in enumerate(cols):
@@ -137,12 +123,10 @@ def _join_general_merge(kb, vb, kp, vp, bcols, pcols, out_pad: int):
     ids_s, run_start, _counts, offsets, total = join_ops.join_merge_impl(
         kb, vb, kp, vp
     )
-    bidx, pidx, live = join_ops.join_expand_merge_impl(
-        ids_s, run_start, offsets, total, out_pad
+    out_b, out_p, live = join_ops.join_merge_materialize_impl(
+        ids_s, run_start, offsets, total, out_pad, bcols, pcols
     )
-    out_b = _gather_cols(bcols, bidx, live)
-    out_p = _gather_cols(pcols, pidx, live)
-    return out_b, out_p, live, total
+    return tuple(out_b), tuple(out_p), live, total
 
 
 def _general_impl():
@@ -240,18 +224,24 @@ def _join_general_csr(
 
 def _csr_device(hcol):
     """Upload memo for a column's CSR index: one transfer per process
-    (charged to the device ledger; evicted under memory pressure)."""
+    (charged to the device ledger; evicted under memory pressure). Same
+    pin-first concurrency protocol as :func:`_device_column_cached`."""
     from .. import engine as _eng
 
     dev = getattr(hcol, "_csr_dev_memo", None)
-    if dev is not None and dev != (None,):
-        _eng.device_ledger().touch(hcol)
-        # entry may have been evicted between the memo read and the touch
-        # (concurrent reserve()): deleted buffers mean re-upload
-        if dev[1].is_deleted():
-            object.__setattr__(hcol, "_csr_dev_memo", None)
-            dev = None
-    if dev is None:
+    if dev == (None,):
+        return None
+    if (dev is not None and _eng.device_ledger().touch(hcol)
+            and not dev[1].is_deleted()):
+        return dev
+    with _owner_lock(hcol):
+        _eng.device_ledger().charge(hcol, 0, _eng._release_column_caches)
+        dev = getattr(hcol, "_csr_dev_memo", None)
+        if dev == (None,):
+            return None
+        if dev is not None and not dev[1].is_deleted():
+            return dev
+        object.__setattr__(hcol, "_csr_dev_memo", None)
         idx = hcol.csr_index()
         if idx is None:
             dev = (None,)
@@ -838,48 +828,83 @@ def _dev_col_bytes(dev) -> int:
             + dev.valid.size * dev.valid.dtype.itemsize)
 
 
+import threading as _threading
+
+#: per-owner upload serialization: concurrent warmup/precompile threads
+#: racing one column's memo miss would both upload + double-charge the
+#: ledger (ADVICE r3 #4). Striped by id(owner) — collisions only cost
+#: spurious serialization, never correctness.
+_OWNER_LOCKS = [_threading.Lock() for _ in range(64)]
+
+
+def _owner_lock(owner) -> _threading.Lock:
+    return _OWNER_LOCKS[id(owner) % 64]
+
+
+def _memo_of(owner) -> dict:
+    memo = getattr(owner, "_dev_memo", None)
+    if memo is None:
+        with _owner_lock(owner):
+            memo = getattr(owner, "_dev_memo", None)
+            if memo is None:
+                memo = {}
+                object.__setattr__(owner, "_dev_memo", memo)
+    return memo
+
+
 def _paged_column_cached(eng, pcol, num_rows: int, pad: int):
     """Device page-decode memo: one raw-page upload + on-chip decode per
     (paged column, pad) per process; ineligible columns memoize the miss
     so the alignment header scan runs once. Charged to the device ledger
-    (evicted + re-decoded under memory pressure)."""
-    memo = getattr(pcol, "_dev_memo", None)
-    if memo is None:
-        memo = {}
-        object.__setattr__(pcol, "_dev_memo", memo)
-    if pad in memo:
-        eng.device_ledger().touch(pcol)
-        dev = memo[pad]
-        if not dev.data.is_deleted():
-            return dev
-        memo.pop(pad, None)  # evicted between memo read and touch
+    (evicted + re-decoded under memory pressure).
+
+    Concurrency protocol (VERDICT r3 #1b / ADVICE r3 #1,#4): a memo hit
+    counts only if ``touch`` confirms the ledger entry is live — touch
+    atomically token-protects it against eviction through the caller's
+    dispatch. The miss path first PINS the owner with a zero-byte
+    ``charge`` (serializing against any in-flight eviction, which pops
+    the memo and deletes buffers under the same ledger lock), re-checks
+    the memo, and only then uploads — closing both the double-upload race
+    and the evicted-between-get-and-dispatch use-after-free."""
+    memo = _memo_of(pcol)
+    dev = memo.get(pad)  # .get: a concurrent eviction may pop the key
+    if dev is not None and eng.device_ledger().touch(pcol) \
+            and not dev.data.is_deleted():
+        return dev
     if memo.get("ineligible"):
         return None
-    dev = eng.paged_column_to_device(pcol, num_rows, pad)
-    if dev is None:
-        memo["ineligible"] = True
-    else:
-        memo[pad] = dev
-        eng.device_ledger().charge(
-            pcol, _dev_col_bytes(dev), eng._release_column_caches
-        )
+    with _owner_lock(pcol):
+        eng.device_ledger().charge(pcol, 0, eng._release_column_caches)
+        dev = memo.get(pad)
+        if dev is not None and not dev.data.is_deleted():
+            return dev
+        memo.pop(pad, None)
+        dev = eng.paged_column_to_device(pcol, num_rows, pad)
+        if dev is None:
+            memo["ineligible"] = True
+        else:
+            memo[pad] = dev
+            eng.device_ledger().charge(
+                pcol, _dev_col_bytes(dev), eng._release_column_caches
+            )
     return dev
 
 
 def _device_column_cached(eng, hcol, pad: int):
     """Upload memo: one transfer per (host column, pad) per process,
-    charged to the device ledger (evicted + re-uploaded under pressure)."""
-    memo = getattr(hcol, "_dev_memo", None)
-    if memo is None:
-        memo = {}
-        object.__setattr__(hcol, "_dev_memo", memo)
+    charged to the device ledger (evicted + re-uploaded under pressure).
+    Same pin-first concurrency protocol as :func:`_paged_column_cached`."""
+    memo = _memo_of(hcol)
     dev = memo.get(pad)
-    if dev is not None:
-        eng.device_ledger().touch(hcol)
-        if dev.data.is_deleted():
-            memo.pop(pad, None)  # evicted between memo read and touch
-            dev = None
-    if dev is None:
+    if dev is not None and eng.device_ledger().touch(hcol) \
+            and not dev.data.is_deleted():
+        return dev
+    with _owner_lock(hcol):
+        eng.device_ledger().charge(hcol, 0, eng._release_column_caches)
+        dev = memo.get(pad)
+        if dev is not None and not dev.data.is_deleted():
+            return dev
+        memo.pop(pad, None)
         dev = eng.host_column_to_device(hcol, pad)
         memo[pad] = dev
         eng.device_ledger().charge(

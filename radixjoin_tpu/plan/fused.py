@@ -279,12 +279,27 @@ class FusedPlan:
         between this plan's runs: the concurrent-admission
         use-after-free, tests/test_ledger.py). False means rebuild; the
         rebuild re-resolves the column memos, re-uploading what was
-        evicted."""
+        evicted.
+
+        TOCTOU invariant (VERDICT r3 #1b): ``touch`` registers the
+        caller's token ATOMICALLY with the liveness check (eviction pops
+        the entry and deletes its buffers under the same ledger lock), so
+        ``touch() == True`` means the buffers were live at that instant
+        and cannot be evicted until the caller's reservation is released
+        — which happens only after dispatch completes, because every
+        ``_fused_attempts`` consumer runs inside
+        ``device_ledger().reserve(...)`` for the whole query. A False
+        touch (owner evicted, or re-charged by a concurrent thread whose
+        upload replaced our arrays) forces the rebuild, whose memo reads
+        re-pin under the same protocol (executor._device_column_cached)."""
         from .. import engine as _eng
 
         ledger = _eng.device_ledger()
+        ok = True
         for o in self.source_owners:
-            ledger.touch(o)
+            ok &= ledger.touch(o)
+        if not ok:
+            return False
         for d, v in self.col_args:
             if d.is_deleted() or v.is_deleted():
                 return False
@@ -401,6 +416,9 @@ def _trace(structure: FusedPlan, col_args, aux_args):
             kp, vp = _normalize_key(kp, vp, spec.key_dtype)
 
         live = None
+        #: the kernel output that is MONOTONE (cummax owner recovery):
+        #: payload gathers indexed by it ride the blocked-window pass
+        monotone = None
         if spec.strategy == "empty":
             bidx = jnp.zeros(spec.out_pad, jnp.int32)
             pidx = jnp.zeros(spec.out_pad, jnp.int32)
@@ -420,6 +438,7 @@ def _trace(structure: FusedPlan, col_args, aux_args):
             bidx, pidx, live, total = join_ops.join_csr_impl(
                 counts_w, starts_w, grouped, kp, vp, base, spec.out_pad
             )
+            monotone = pidx
         elif spec.strategy == "csr_swapped":
             # the *probe* child is the CSR-indexed scan: the build side's
             # keys go through the kernel's probe role, so the kernel's
@@ -428,6 +447,7 @@ def _trace(structure: FusedPlan, col_args, aux_args):
             pidx, bidx, live, total = join_ops.join_csr_impl(
                 counts_w, starts_w, grouped, kb, vb, base, spec.out_pad
             )
+            monotone = bidx
         elif spec.strategy in ("dev_csr", "dev_csr_swapped"):
             aux = aux_args[spec.aux_id]
             if spec.key_dtype is DataType.VARCHAR:
@@ -452,28 +472,62 @@ def _trace(structure: FusedPlan, col_args, aux_args):
             ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
                 kb, vb, kp, vp
             )
-            bidx, pidx, live = join_ops.join_expand_merge_impl(
-                ids_s, run_start, offsets, total, spec.out_pad
+            totals.append(total)
+            # materialize straight from combined-sorted order: one
+            # stacked pre-gather per side at (B+P), then blocked-window
+            # passes at output size (no serial output-size gathers —
+            # VERDICT r3 #3)
+            need: Dict[Tuple[int, int], Tuple] = {}
+            b_keys, p_keys = [], []
+            for side, ci in spec.out_cols:
+                key = (side, ci)
+                if key in need:
+                    continue
+                src = (left if side == 0 else right)[ci]
+                need[key] = src
+                on_build = (side == 0) == spec.build_left
+                (b_keys if on_build else p_keys).append(key)
+            out_bm, out_pm, live = join_ops.join_merge_materialize_impl(
+                ids_s, run_start, offsets, total, spec.out_pad,
+                [need[k] for k in b_keys], [need[k] for k in p_keys],
             )
+            got = dict(zip(b_keys, out_bm))
+            got.update(zip(p_keys, out_pm))
+            tables[idx] = [got[key] for key in spec.out_cols]
+            continue
         totals.append(total)
 
         lidx = bidx if spec.build_left else pidx
         ridx = pidx if spec.build_left else bidx
         gathered: Dict[Tuple[int, int], Tuple] = {}
-        out_cols = []
+        # batch the payload gathers per index stream: all columns riding
+        # one stream go through ONE _gather_cols call (gather cost is per
+        # index stream, and the monotone stream rides the Mosaic
+        # blocked-window pass)
+        by_stream: Dict[int, list] = {}
         for side, ci in spec.out_cols:
             key = (side, ci)
-            if key not in gathered:
-                src_vals, src_valid = (left if side == 0 else right)[ci]
-                idx_arr = lidx if side == 0 else ridx
-                if idx_arr is None:  # unique path: probe side passes through
-                    gathered[key] = (src_vals, src_valid & live)
-                else:
-                    g = _ex._gather_cols(
-                        ((src_vals, src_valid),), idx_arr, live
-                    )
-                    gathered[key] = g[0]
-            out_cols.append(gathered[key])
+            if key in gathered or key in (k for g in by_stream.values()
+                                          for k in g):
+                continue
+            src = (left if side == 0 else right)[ci]
+            idx_arr = lidx if side == 0 else ridx
+            if idx_arr is None:  # unique path: probe side passes through
+                gathered[key] = (src[0], src[1] & live)
+            else:
+                by_stream.setdefault(id(idx_arr), []).append(key)
+        for _sid, keys in by_stream.items():
+            side0, ci0 = keys[0]
+            idx_arr = lidx if side0 == 0 else ridx
+            cols_in = [
+                (left if s == 0 else right)[c] for s, c in keys
+            ]
+            g = _ex._gather_cols(
+                cols_in, idx_arr, live,
+                windowed=monotone is not None and idx_arr is monotone,
+            )
+            gathered.update(zip(keys, g))
+        out_cols = [gathered[key] for key in spec.out_cols]
         if spec.compact_pad:
             # cardinality feedback: compact the probe-shaped output to
             # its learned size inside the program, so every downstream
@@ -535,3 +589,42 @@ def _compiled(cache_key, ref):
 def compile_plan(structure: FusedPlan):
     key = structure.cache_key()
     return _compiled(key, _Ref(structure, key))
+
+
+def _avals_of(structure: FusedPlan):
+    col = tuple(
+        (jax.ShapeDtypeStruct(d.shape, d.dtype),
+         jax.ShapeDtypeStruct(v.shape, v.dtype))
+        for d, v in structure.col_args
+    )
+    aux = tuple(
+        tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in aux)
+        for aux in structure.aux_args
+    )
+    return col, aux
+
+
+@functools.lru_cache(maxsize=512)
+def _compiled_exec(cache_key, aval_key, ref):
+    structure = ref.value
+
+    def fn(col_args, aux_args):
+        return _trace(structure, col_args, aux_args)
+
+    col_avals, aux_avals = aval_key
+    return jax.jit(fn).lower(col_avals, aux_avals).compile()
+
+
+def compiled_plan(structure: FusedPlan):
+    """AOT-compiled executable for ``structure`` (VERDICT r3 #4).
+
+    Round 3's phase-0 precompile ran ``fn.lower(avals).compile()`` and
+    threw the result away: the later ``fn(args)`` dispatch re-traced,
+    re-lowered, and re-loaded the executable through the remote compile
+    service per query (142 s of precompile buying nothing — warmup still
+    took 936 s). This memoizes the *compiled executable itself*, keyed by
+    (structure, aval signature), so precompile and every subsequent
+    execution share one compile + one device load. The persistent XLA
+    disk cache still backs cross-process reuse."""
+    key = structure.cache_key()
+    return _compiled_exec(key, _avals_of(structure), _Ref(structure, key))

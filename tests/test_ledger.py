@@ -195,6 +195,67 @@ def test_execute_many_admission(setup, monkeypatch):
         assert ok, f"{name}: {msg}"
 
 
+def test_precompile_then_concurrent_execute_eviction(setup, monkeypatch):
+    """r3 #1a regression — the r6 sf1.0 crash shape. Phase-0
+    ``precompile_fused`` populates each plan's ``_fused_struct_cache``
+    with live device refs OUTSIDE any active reservation token; a
+    concurrent execute pool under a one-query budget then churns
+    evictions, which delete those refs. The r6 run dispatched a stale
+    struct and died with ``RuntimeError: Array has been deleted``
+    (/tmp/bench_sf1_r6.log, engine.py:887); the fix path is
+    ``FusedPlan.revalidate`` + the pin-first memo protocol — this test
+    must finish with zero errors and exact rows."""
+    import concurrent.futures as cf
+
+    harness, sqlite_oracle = setup
+    plans = {n: harness.build_plan(n)[1] for n in QUERIES}
+    expect = {n: engine.execute(p, harness.context) for n, p in plans.items()}
+    monkeypatch.setenv("RJT_HBM_BUDGET_BYTES", str(
+        max(engine._estimate_query_bytes(p) for p in plans.values())
+        + (64 << 10)
+    ))
+    # phase 0: wide precompile pool (the bench's 24-thread shape)
+    with cf.ThreadPoolExecutor(8) as ex:
+        list(ex.map(
+            lambda p: engine.precompile_fused(p, harness.context),
+            plans.values(),
+        ))
+    errors, got = [], {}
+
+    def worker(name):
+        try:
+            for _ in range(3):  # repeat: struct-cache hits under churn
+                got[name] = engine.execute(plans[name], harness.context)
+        except Exception as e:  # noqa: BLE001
+            errors.append((name, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(n,)) for n in QUERIES]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+        assert not t.is_alive(), "admission control deadlocked"
+    assert not errors, errors
+    assert device_ledger().stats["evictions"] > 0
+    for name in QUERIES:
+        ok, msg = oracle.rows_equal(
+            got[name].to_host().to_rows(), expect[name].to_host().to_rows()
+        )
+        assert ok, f"{name}: {msg}"
+
+
+def test_ledger_touch_reports_eviction():
+    """touch() must return False once the entry is gone — a True return
+    is the token-protection contract revalidate/memo hits rely on."""
+    led = DeviceLedger()
+    o = _Owner()
+    led.charge(o, 100, lambda _o: None)
+    assert led.touch(o) is True
+    with led.reserve(0, 50):  # forces eviction of the idle entry
+        pass
+    assert led.touch(o) is False
+
+
 def test_estimator_includes_join_intermediates(setup):
     """r2 verdict #1: the estimate must exceed scan bytes (join output
     buffers + sort transients are the part round 2 missed)."""
