@@ -6,12 +6,17 @@ per-query timing covers ``execute()`` only (plan construction and base-table
 filtering excluded); the metric is the suite total. The real 1.2 GB IMDB
 dump is not available in this environment, so the suite runs on the
 literal-aware synthetic IMDB (harness/datagen.py) at BENCH_SCALE
-(default 0.01 = 1% of real row counts); the reference baseline of
-914,223 ms was measured on the full dataset on a 96-core Threadripper, so
-``vs_baseline`` is reported against a row-count-scaled baseline
-(baseline_total * scale) — an approximation, recorded for trend tracking.
+(default 0.1 = 10% of real row counts — a compute-dominated scale;
+VERDICT r3 #9: at sf0.01 the ~28 ms/query tunnel round trip was 94% of
+the metric, measuring the link, not the engine). A secondary sf0.01
+serial pass rides in ``detail.secondary`` for trend continuity with
+rounds 1-3. The reference baseline of 914,223 ms was measured on the
+full dataset on a 96-core Threadripper, so ``vs_baseline`` is reported
+against a row-count-scaled baseline (baseline_total * scale) — an
+approximation, recorded for trend tracking.
 
-Env knobs: BENCH_SCALE, BENCH_QUERIES (comma list), BENCH_REPEAT.
+Env knobs: BENCH_SCALE, BENCH_SECONDARY_SCALE (default 0.01, "" = off),
+BENCH_QUERIES (comma list), BENCH_REPEAT.
 Prints exactly one JSON line on stdout.
 """
 
@@ -56,6 +61,8 @@ def _emit(total_ms, scale, n_queries, partial=False):
         detail["batch_wall_ms"] = _partial["batch_wall_ms"]
     if "phase_times" in _partial:
         detail["warmup_phase_s"] = _partial["phase_times"]
+    if "secondary" in _partial:
+        detail["secondary"] = _partial["secondary"]
     if _partial["stage_totals"]:
         # suite-wide stage split (best pass): how much of the serial
         # total is program dispatch vs result fetch (the tunnel's ~27 ms
@@ -91,11 +98,13 @@ def _arm_watchdog(scale, n_queries):
         log(f"bench: WATCHDOG after {deadline:.0f}s in stage "
             f"'{_partial['stage']}' ({len(timed)}/{n_queries} queries timed)")
         total = sum(timed.values())
-        if _partial["stage"] == "batch":
-            # the headline serial protocol finished completely; only the
-            # bonus batch stage stalled — emit the full result, drop the
-            # batch detail, and exit clean
+        if _partial["stage"] in ("batch", "secondary"):
+            # the headline serial protocol finished completely; only a
+            # bonus stage stalled — emit the full result, drop that
+            # stage's detail, and exit clean
             _partial.pop("batch_wall_ms", None)
+            if _partial["stage"] == "secondary":
+                _partial.pop("secondary", None)
             _emit(total, scale, len(timed))
             os._exit(0)
         _emit(total if timed else 0.0, scale, len(timed), partial=True)
@@ -216,8 +225,60 @@ def _cpu_chunked(names, scale):
     _emit(total_ms, scale, done, partial=done < len(names))
 
 
+def _secondary_pass(scale: float, names, harness_cls, source_cls, datagen,
+                    execute) -> dict:
+    """One warm serial pass at a secondary scale (sf0.01 trend line for
+    rounds 1-3 comparability). Precompile + one warm execute each, then
+    one timed pass; returns the summary dict for ``detail.secondary``."""
+    import concurrent.futures as cf
+
+    from radixjoin_tpu import engine as _eng
+
+    t0 = time.perf_counter()
+    queries = datagen.load_job_queries(SQL_DIR, names)
+    tables = datagen.generate_cached(
+        scale, 0, queries, cache_dir=os.path.join(REPO, ".bench_cache")
+    )
+    source = source_cls(host_tables=tables)
+    harness = harness_cls(PLANS, source, SQL_DIR)
+    plans = {n: harness.build_plan(n)[1] for n in names}
+    log(f"bench: secondary sf{scale} setup {time.perf_counter()-t0:.1f}s")
+
+    def warm(name):
+        try:
+            _eng.precompile_fused(plans[name], harness.context)
+            # TWO warm executions: the first rides the AOT executable,
+            # the second pays the jitted wrapper's one-time
+            # trace+load so the timed pass below hits the C++ fast
+            # path (run2's secondary measured the jit first-call cost,
+            # ~7 s/query, instead of the engine)
+            execute(plans[name], harness.context)
+            execute(plans[name], harness.context)
+        except Exception as e:  # noqa: BLE001
+            log(f"bench: secondary warm[{name}] failed: "
+                f"{type(e).__name__}: {str(e)[:120]}")
+
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(8) as ex:
+        list(ex.map(warm, names))
+    warm_s = time.perf_counter() - t0
+    per = {}
+    for name in names:
+        t0 = time.perf_counter()
+        execute(plans[name], harness.context)
+        per[name] = (time.perf_counter() - t0) * 1e3
+    total = sum(per.values())
+    scaled_baseline = BASELINE_TOTAL_MS * scale
+    return {
+        "scale": scale,
+        "total_ms": round(total, 2),
+        "vs_baseline": round(scaled_baseline / total, 3) if total else 0.0,
+        "warmup_s": round(warm_s, 1),
+    }
+
+
 def main():
-    scale = float(os.environ.get("BENCH_SCALE", "0.01"))
+    scale = float(os.environ.get("BENCH_SCALE", "0.1"))
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
     from radixjoin_tpu.harness import datagen
@@ -376,6 +437,21 @@ def main():
             log(f"bench: batch stage failed ({type(e).__name__}: "
                 f"{str(e)[:200]}), reporting serial result only")
 
+    # Secondary scale (default sf0.01): one warm serial pass for trend
+    # continuity with rounds 1-3 (VERDICT r3 #9 moved the primary to a
+    # compute-dominated scale).
+    sec = os.environ.get("BENCH_SECONDARY_SCALE", "0.01")
+    if sec and float(sec) != scale and not os.environ.get("BENCH_QUERIES"):
+        _partial["stage"] = "secondary"
+        try:
+            _partial["secondary"] = _secondary_pass(
+                float(sec), names, JobHarness, TableSource, datagen, execute
+            )
+            log(f"bench: secondary {_partial['secondary']}")
+        except Exception as e:  # noqa: BLE001
+            log(f"bench: secondary pass failed ({type(e).__name__}: "
+                f"{str(e)[:200]}); primary result unaffected")
+
     _partial["stage"] = "done"
     from radixjoin_tpu.plan import executor as _ex
     from radixjoin_tpu.plan import fused as _fz
@@ -402,9 +478,9 @@ def _main_guarded():
                  if v is not None}
         log(f"bench: CRASH in stage '{_partial['stage']}' with "
             f"{len(timed)} queries timed: {type(e).__name__}")
-        # a crash during/after the bonus batch stage doesn't taint the
-        # completed serial protocol
-        complete = _partial["stage"] in ("batch", "done")
+        # a crash during/after a bonus stage doesn't taint the completed
+        # serial protocol
+        complete = _partial["stage"] in ("batch", "secondary", "done")
         _emit(sum(timed.values()), float(os.environ.get("BENCH_SCALE", "0.01")),
               len(timed), partial=not complete)
         sys.exit(0 if complete else 4)

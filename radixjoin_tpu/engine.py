@@ -947,7 +947,18 @@ def _fused_attempts(plan: Plan, context: Optional[Context]):
             plan._fused_struct_cache = (state_key, structure)
         if structure.has_varchar_key:
             return None  # caller falls back to the stepwise engine
-        fn = fz.compiled_plan(structure)
+        # Hybrid dispatch: the first execution of a structure calls the
+        # AOT executable (guaranteed no re-compile — precompile_fused
+        # warmed exactly this object), but the AOT Python call path costs
+        # ~4 ms/query in aval processing (BENCH r4 run1: dispatch_ms
+        # 458 vs 97 all-jit). Later executions go through the jitted
+        # wrapper: its first call re-traces (the XLA compile is a
+        # persistent-cache hit) and then dispatches on the C++ fast path.
+        if getattr(structure, "_dispatched", False):
+            fn = fz.compile_plan(structure)
+        else:
+            fn = fz.compiled_plan(structure)
+            structure._dispatched = True
         out_values_dev, out_valid_dev, totals_dev = fn(
             tuple(structure.col_args), tuple(structure.aux_args)
         )
@@ -1026,6 +1037,14 @@ def _fused_attempts(plan: Plan, context: Optional[Context]):
             root_total = int(totals[join_order.index(plan.root)])
 
         fz.count_paths(structure)
+        # per-join exact output cardinalities of this execution — the
+        # per-query WORK signal (final result rows alone under-weight
+        # queries whose cost is intermediate fan-out, e.g. JOB 16b/17e);
+        # read by tools/calibrate_datagen.py
+        plan._last_join_totals = {
+            node_id: int(totals[ji])
+            for ji, node_id in enumerate(join_order)
+        }
         if feedback_on:
             plan._learned_root_rows = root_total
             plan._learned_buckets = {

@@ -356,20 +356,31 @@ class SyntheticIMDB:
                 pairs.append(_instantiate_like(rng, q)
                              + _instantiate_like(rng, p))
         pool: List[bytes] = eqs + singles + pairs
-        # category-weighted picks (eq 45% / singles 35% / pairs 20%): a
-        # large pair pool must not dilute the eq literals other queries
-        # equality-match against
-        weights = np.concatenate([
-            np.full(len(eqs), 0.45 / max(len(eqs), 1)),
-            np.full(len(singles), 0.35 / max(len(singles), 1)),
-            np.full(len(pairs), 0.20 / max(len(pairs), 1)),
+        # Per-ITEM absolute match fractions (r3 VERDICT #6): the old
+        # flat 45% pool rate made every filter literal on a
+        # sparsely-harvested column match 10-45% of rows — on real IMDB
+        # a keyword LIKE '%sequel%' or one mi.info value selects well
+        # under 1%, so queries like 3a/3c ran far heavier on synthetic
+        # than on real data (Spearman vs reference runtimes 0.428,
+        # calibration_sf0.1.json). Each eq literal now matches ~0.5% of
+        # non-hot rows, each LIKE instantiation ~0.3%, each pair ~0.08%;
+        # the total pool rate is their sum (capped at the old 45%).
+        # Non-emptiness is owned by witness planting + the hot region,
+        # not by literal mass.
+        frac = np.concatenate([
+            np.full(len(eqs), 0.005),
+            np.full(len(singles), 0.003),
+            np.full(len(pairs), 0.0008),
         ]) if pool else np.zeros(0)
+        weights = frac
+        cold_rate = min(float(frac.sum()), 0.45)
 
         lens = rng.integers(min_len, max_len + 1, n).astype(np.int64)
         picks = use_pool = None
         if pool:
             pheap, pstarts, plens = _pool_heap(pool)
-            rate = np.where(hot, 0.9, 0.45) if hot is not None else 0.45
+            rate = (np.where(hot, 0.9, cold_rate)
+                    if hot is not None else cold_rate)
             use_pool = rng.random(n) < rate
             picks = rng.choice(
                 len(pool), n, p=weights / weights.sum()
@@ -662,12 +673,38 @@ def _plant_witnesses(gen: "SyntheticIMDB", tables: Dict[str, HostTable]) -> None
     writes: Dict[str, List] = {}
     small_cache: Dict[Tuple, np.ndarray] = {}
     unsat: List[str] = []
+    #: rows handed to some query's witnesses (their values WILL change):
+    #: a later small-path anchor must never sit on one — its
+    #: filter-passing check ran against pre-write data
+    claimed: Dict[str, set] = {}
+    #: small-path anchor rows (organic rows some query's correctness
+    #: depends on): the allocator must never hand these out
+    protected: Dict[str, set] = {}
 
     def alloc_rows(tname: str, k: int) -> List[int]:
-        n = tables[tname].num_rows
-        start = alloc.get(tname, 0)
-        alloc[tname] = start + k
-        return [(start + j) % n for j in range(k)]
+        # Witness rows are EXCLUSIVE: the old modulo-wrap reused rows on
+        # small tables, so a later query's writes clobbered an earlier
+        # query's witnesses/anchors (masked by generator v6's 45%
+        # literal mass; exposed by v7's realistic rates — e.g. 3b's
+        # '%sequel%' keyword scan emptied at tiny scales). The cursor
+        # skips protected anchor rows, and the table GROWS when it runs
+        # out — a few hundred appended rows at worst, only at scales
+        # where the table is tiny anyway.
+        t = tables[tname]
+        prot = protected.get(tname, set())
+        out: List[int] = []
+        cur = alloc.get(tname, 0)
+        while len(out) < k:
+            if cur >= t.num_rows:
+                tables[tname] = t = _grow_table(
+                    t, tname, t.num_rows + (k - len(out))
+                )
+            if cur not in prot:
+                out.append(cur)
+            cur += 1
+        alloc[tname] = cur
+        claimed.setdefault(tname, set()).update(out)
+        return out
 
     for qi, parsed in enumerate(gen.parsed_queries):
         entities = list(dict.fromkeys(parsed.alias_map.values()))
@@ -716,10 +753,18 @@ def _plant_witnesses(gen: "SyntheticIMDB", tables: Dict[str, HostTable]) -> None
                             else np.ones(t.num_rows, bool))
                     passing = np.nonzero(mask)[0]
                     small_cache[key] = passing
-                if len(passing):
-                    small[ent] = passing
-                    rows[ent] = [int(passing[j % len(passing)])
+                # anchors must sit on rows no query's witnesses claimed:
+                # the passing mask was computed against pre-write data,
+                # and claimed rows' values will change at apply time
+                cl = claimed.get(ent.table, set())
+                usable = [int(r) for r in passing if int(r) not in cl]
+                if usable:
+                    small[ent] = usable
+                    rows[ent] = [usable[j % len(usable)]
                                  for j in range(W)]
+                    protected.setdefault(ent.table, set()).update(
+                        rows[ent]
+                    )
                     continue
             rows[ent] = alloc_rows(ent.table, W)
 
@@ -777,6 +822,23 @@ def _plant_witnesses(gen: "SyntheticIMDB", tables: Dict[str, HostTable]) -> None
               file=sys.stderr)
 
 
+def _grow_table(t: HostTable, tname: str, need: int) -> HostTable:
+    """Append rows (cyclic copies of existing rows) until ``t`` has at
+    least ``need`` rows; the ``id`` column stays a unique dense 1..n."""
+    n = t.num_rows
+    grow = need - n
+    src = np.arange(grow, dtype=np.int64) % n
+    idx = np.concatenate([np.arange(n, dtype=np.int64), src])
+    cols = [c.take(idx) for c in t.columns]
+    names = [c for c, _ in catalog.ATTRIBUTES[tname]]
+    if "id" in names:
+        ci = names.index("id")
+        cols[ci].values[n:] = np.arange(n + 1, need + 1,
+                                        dtype=cols[ci].values.dtype)
+        cols[ci].valid[n:] = True
+    return HostTable(need, cols)
+
+
 def _apply_writes(table: HostTable, wl: List) -> None:
     """Apply (row, col, value|NULL_SENTINEL) writes; VARCHAR columns are
     rebuilt once via gather_varlen with the patch strings appended."""
@@ -823,7 +885,7 @@ def _apply_writes(table: HostTable, wl: List) -> None:
 
 
 #: bump when generator logic changes (invalidates the disk cache)
-_GEN_VERSION = 6
+_GEN_VERSION = 7  # v7: per-literal absolute match fractions (VERDICT r3 #6)
 
 
 def generate_cached(

@@ -195,19 +195,6 @@ def bench_fused_join(n: int, spec, reps: int) -> Measurement:
     return _measure("fused_join_e2e", out_rows, ms, min_bytes, spec)
 
 
-def bench_pallas_block_join(n: int, spec, reps: int) -> Measurement:
-    """Broadcast-equality lookup against a 512-row VMEM build side."""
-    from ..ops import pallas_kernels as pk
-
-    rng = np.random.default_rng(0)
-    b = 512
-    bk = jnp.asarray(rng.permutation(1 << 16)[:b].astype(np.int32))
-    bv = jnp.ones(b, bool)
-    pkeys = jnp.asarray(rng.integers(0, 1 << 16, n).astype(np.int32))
-    pv = jnp.ones(n, bool)
-    ms = _time(pk.block_join_lookup, (bk, bv, pkeys, pv), reps)
-    return _measure("pallas_block_join[B=512]", n, ms, n * 4 * 3, spec)
-
 
 def bench_join_merge(n: int, spec, reps: int, dtype=jnp.int32) -> Measurement:
     """Single-sort merge-join count (the production general-join kernel)."""
@@ -232,7 +219,6 @@ CASES: Dict[str, Callable] = {
     "join_expand": bench_join_expand,
     "gather": bench_gather,
     "fused_join": bench_fused_join,
-    "pallas_block_join": bench_pallas_block_join,
 }
 
 

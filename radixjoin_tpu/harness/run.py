@@ -55,19 +55,36 @@ class TableSource:
         return table
 
     def provider(self, entity: TableEntity, attributes, filt) -> ColumnarTable:
+        import os
+
         name = entity.table
-        # lazy=True: the engine computes on the HostTable memo, so the
-        # page encode of plan inputs is deferred until something actually
-        # reads the bytes — at scale 1.0 (~60M rows) eager per-query
-        # encodes would dominate harness wall-clock on this 1-core host
+        # lazy=True (default): the engine computes on the HostTable memo,
+        # so the page encode of plan inputs is deferred until something
+        # actually reads the bytes — at scale 1.0 (~60M rows) eager
+        # per-query encodes would dominate harness wall-clock on this
+        # 1-core host.
+        #
+        # RJT_EAGER_PAGES=on (VERDICT r3 #7 measurement config): inputs
+        # are eagerly encoded to row-aligned pages at plan build
+        # (untimed, like the reference's CSV load) AND the host twin is
+        # dropped — the engine's timed region then starts from raw pages
+        # exactly like the reference contract (include/plan.h:342):
+        # fixed-width columns upload raw pages + decode on chip
+        # (storage/device_decode.py), VARCHAR host-decodes.
+        eager = os.environ.get("RJT_EAGER_PAGES", "off") == "on"
         if filt is None:
             cached = self._unfiltered_cache.get(name)
             if cached is None:
-                cached = ColumnarTable.from_host(self.table(name), lazy=True)
+                cached = ColumnarTable.from_host(
+                    self.table(name), lazy=not eager)
                 self._unfiltered_cache[name] = cached
-            return cached.copy()
-        filtered = ingest.filter_table(self.table(name), filt)
-        return ColumnarTable.from_host(filtered, lazy=True)
+            out = cached.copy()
+        else:
+            filtered = ingest.filter_table(self.table(name), filt)
+            out = ColumnarTable.from_host(filtered, lazy=not eager)
+        if eager:
+            out._host = None  # force the pages->device path
+        return out
 
 
 class JobHarness:

@@ -9,12 +9,9 @@ kernel here has a production caller (VERDICT r1 #6):
   tables (join small-window lookups, plan/executor.py).
 * :func:`paged_window_gather` — batched per-page window gather (the
   device-side page decode, storage/device_decode.py).
-* :func:`block_join_lookup` — broadcast-equality join for SMALL build
-  sides: every probe chunk is compared against the whole build side held
-  in VMEM, (C_blk, B) at a time. For a few-hundred-row dimension table
-  this replaces the reference's pointer-chasing hash probe with dense
-  vector compares — the shape a 8x128 VPU is built for — and needs no
-  sort, no gather, no hash table (RJT_BLOCK_JOIN, plan/executor.py).
+* :func:`blocked_window_gather_multi` — output-size lookups on
+  monotone/block-windowed index streams (the join expansions' owner/bpos
+  streams and pre-sorted payload planes, ops/join.py).
 
 Deleted after r1 (docs/PARITY.md records why): bitmap_pack/unpack
 (superseded by fused XLA broadcast-shift-mask in device_decode),
@@ -51,9 +48,8 @@ def _interpret() -> bool:
 # clean under x64 — index maps return np.int32 constants (a bare `0`
 # literal becomes an i64 func.return), reductions carry explicit i32
 # dtypes, and 64-bit operands are pre-split into i32 planes
-# (:func:`_split64`). This keeps block_join/compare/bitmap kernels
-# embeddable inside the engine's x64 jits (the block join fuses into the
-# join program). The one exception is the histogram: its fori_loop
+# (:func:`_split64`). This keeps every kernel here embeddable inside the
+# engine's x64 jits. The one exception is the histogram: its fori_loop
 # induction variable is i64 under an x64 trace and Mosaic cannot lower the
 # i64->i32 conversion, so its core compiles under :func:`_jit32` and it is
 # NOT embeddable in x64 jits.
@@ -276,100 +272,6 @@ def paged_window_gather(body: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         interpret=_interpret(),
     )(body2, idx2)
     return out.reshape(npages, rrp * LANE)[:, :ro]
-
-
-# ---------------------------------------------------------------------------
-# Broadcast-equality block join (small build sides)
-# ---------------------------------------------------------------------------
-
-
-def _block_join_kernel(bh_ref, bl_ref, bv_ref, ph_ref, pl_ref, pv_ref,
-                       idx_ref, cnt_ref):
-    bv = bv_ref[:] != 0  # (1, B)
-    pv = pv_ref[:] != 0  # (C, 1)
-    # 64-bit equality as two 32-bit planes (lo plane is zeros for i32 keys)
-    eq = (
-        (ph_ref[:] == bh_ref[:]) & (pl_ref[:] == bl_ref[:]) & bv & pv
-    )  # (C, B) broadcast compare
-    cnt_ref[:] = jnp.sum(
-        eq.astype(jnp.int32), axis=1, keepdims=True, dtype=jnp.int32
-    )
-    ids = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 1)
-    # first matching build slot (min id among matches); B if none
-    idx_ref[:] = jnp.min(
-        jnp.where(eq, ids, jnp.int32(eq.shape[1])), axis=1, keepdims=True
-    )
-
-
-def block_join_lookup(
-    build_keys: jnp.ndarray,
-    build_valid: jnp.ndarray,
-    probe_keys: jnp.ndarray,
-    probe_valid: jnp.ndarray,
-    chunk: int = 0,  # 0 = auto: keep the (chunk, B) compare tile ~2 MB
-):
-    """For each probe row: count of matching build rows and the FIRST
-    matching build slot (== the only one when build keys are unique).
-
-    O(C*B) dense compares — optimal on the VPU when B is small (dimension
-    tables): no sort, no hash table, no gathers. INT64 keys are compared
-    as hi/lo 32-bit planes (Mosaic has no 64-bit vectors). Returns
-    ``(first_idx int32[C], counts int32[C])`` with ``first_idx == B`` where
-    no match.
-    """
-    b = build_keys.shape[0]
-    assert b % LANE == 0, "pad build side to a lane multiple"
-    if chunk <= 0:
-        # (chunk, B) compare tile <= 2 MB; (chunk, 1) operand planes pad
-        # their lane dim to 128, so keep chunk modest as well
-        chunk = max(SUBLANE, min(1 << 10, (2 << 20) // (b * 4)))
-    n = probe_keys.shape[0]
-    npad = _cdiv(max(n, 1), chunk) * chunk
-    if build_keys.dtype == jnp.int64:
-        bh, bl = _split64(build_keys)
-        ph, plo = _split64(_pad_to(probe_keys, npad))
-    else:
-        bh, bl = build_keys.astype(jnp.int32), jnp.zeros(b, jnp.int32)
-        ph = _pad_to(probe_keys.astype(jnp.int32), npad)
-        plo = jnp.zeros(npad, jnp.int32)
-    pv = _pad_to(probe_valid.astype(jnp.int32), npad).reshape(npad, 1)
-    idx, cnt = _block_join_core(
-        bh.reshape(1, b), bl.reshape(1, b),
-        build_valid.astype(jnp.int32).reshape(1, b),
-        ph.reshape(npad, 1), plo.reshape(npad, 1), pv,
-        chunk=chunk,
-    )
-    return idx.reshape(-1)[:n], cnt.reshape(-1)[:n]
-
-
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _block_join_core(bh, bl, bv, ph, plo, pv, *, chunk: int):
-    b = bh.shape[1]
-    npad = ph.shape[0]
-    grid = npad // chunk
-    return pl.pallas_call(
-        _block_join_kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, b), lambda i: (_I0, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (_I0, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (_I0, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 1), lambda i: (i, _I0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
-        ),
-        interpret=_interpret(),
-    )(bh, bl, bv, ph, plo, pv)
-
-
 
 
 # ---------------------------------------------------------------------------

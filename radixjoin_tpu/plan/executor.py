@@ -396,44 +396,9 @@ def _count_path(name: str) -> None:
 
 
 def path_stats() -> Dict[str, int]:
-    """Snapshot of join-path counts: unique_scatter / unique_block /
+    """Snapshot of join-path counts: unique_scatter /
     unique_sort / general_csr / general_merge / empty_type_mismatch."""
     return dict(PATH_STATS)
-
-
-_BLOCK_JOIN_MAX_BUILD = 1024
-
-
-def _block_join_enabled(bpad: int) -> bool:
-    import os
-
-    mode = os.environ.get("RJT_BLOCK_JOIN", "off")
-    if mode == "off":
-        return False
-    if mode == "force":
-        return True
-    # "auto": measured on v5e, the eager pallas wrapper costs ~3 dispatches
-    # per join vs the sort path's single fused one, which outweighs the
-    # saved sort at JOB scale (11.3s vs 9.6s suite) — off by default until
-    # the kernel can be embedded in the x64 jit
-    return bpad <= _BLOCK_JOIN_MAX_BUILD and jax.default_backend() == "tpu"
-
-
-@jax.jit
-def _join_unique_block(kb, vb, kp, vp, bcols):
-    """Sort-free unique join via the pallas broadcast-equality kernel
-    (ops/pallas_kernels.py): the whole build side stays VMEM-resident and
-    every probe chunk is compared against it densely — no sort, no
-    permutation, indices are original build row ids. The kernel is
-    x64-proof, so lookup + gather fuse into ONE program/dispatch."""
-    from ..ops import pallas_kernels as pk
-
-    bidx_raw, cnt = pk.block_join_lookup(kb, vb, kp, vp)
-    found = (cnt > 0) & vp
-    bidx = jnp.where(found, bidx_raw, 0)
-    out_b = _gather_cols(bcols, bidx, found)
-    total = jnp.sum(found.astype(jnp.int64))
-    return out_b, found, total
 
 
 @jax.jit
@@ -989,11 +954,6 @@ def _run_join(
             base, r_pad = window
             out_b, found, total = _join_unique_scatter(
                 kb, vb, kp, vp, _dev_scalar_i64(base), tuple(bcols), r_pad
-            )
-        elif _block_join_enabled(kb.shape[0]):
-            _count_path("unique_block")
-            out_b, found, total = _join_unique_block(
-                kb, vb, kp, vp, tuple(bcols)
             )
         else:
             _count_path("unique_sort")

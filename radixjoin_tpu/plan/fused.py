@@ -586,9 +586,92 @@ def _compiled(cache_key, ref):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=1)
+def _code_fingerprint() -> str:
+    """Content hash of every source file that shapes a traced program.
+    Keys the on-disk exported-program cache: ANY kernel/compiler edit
+    invalidates every cached export (a stale export would silently run
+    old program semantics)."""
+    import hashlib
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha1()
+    files = []
+    for sub in ("ops", "plan"):
+        d = os.path.join(pkg, sub)
+        files.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".py")
+        )
+    files.append(os.path.join(pkg, "engine.py"))
+    files.append(os.path.join(pkg, "dtypes.py"))
+    for f in files:
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def _export_dir():
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if not cache_dir:
+        return None
+    d = os.path.join(cache_dir, "rjt_export")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@functools.lru_cache(maxsize=512)
+def _exported(cache_key, aval_key, ref):
+    """jitted wrapper around a (disk-cached) jax.export'ed program.
+
+    Re-tracing + lowering the 113 fused query programs is single-core
+    Python work (~550 s per process on this 1-core host — the r4
+    cold-start wall after the AOT fix removed re-compiles). The
+    StableHLO is process-invariant, so it is exported ONCE and
+    serialized next to the XLA compile cache; later processes
+    deserialize (ms) and compile via the persistent cache (measured:
+    deserialize 0.01 s + first call 1.8 s for 26a, vs ~5 s trace+lower +
+    compile). The wrapper is jitted so steady-state dispatch rides the
+    C++ fast path (~0.1 ms) instead of Exported.call's Python
+    re-embedding. Falls back to the plain jit on any export failure."""
+    structure = ref.value
+
+    def fn(col_args, aux_args):
+        return _trace(structure, col_args, aux_args)
+
+    d = _export_dir()
+    exp = None
+    if d is not None:
+        import hashlib
+
+        name = hashlib.sha1(
+            repr((_code_fingerprint(), cache_key, aval_key)).encode()
+        ).hexdigest()
+        path = os.path.join(d, f"{name}.bin")
+        if os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    exp = jax.export.deserialize(f.read())
+            except Exception:  # noqa: BLE001 - corrupt entry: re-export
+                exp = None
+        if exp is None:
+            try:
+                col_avals, aux_avals = aval_key
+                exp = jax.export.export(jax.jit(fn))(col_avals, aux_avals)
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(exp.serialize())
+                os.replace(tmp, path)
+            except Exception:  # noqa: BLE001 - unexportable program
+                exp = None
+    if exp is None:
+        return jax.jit(fn)
+    return jax.jit(exp.call)
+
+
 def compile_plan(structure: FusedPlan):
     key = structure.cache_key()
-    return _compiled(key, _Ref(structure, key))
+    return _exported(key, _avals_of(structure), _Ref(structure, key))
 
 
 def _avals_of(structure: FusedPlan):
@@ -606,13 +689,11 @@ def _avals_of(structure: FusedPlan):
 
 @functools.lru_cache(maxsize=512)
 def _compiled_exec(cache_key, aval_key, ref):
-    structure = ref.value
-
-    def fn(col_args, aux_args):
-        return _trace(structure, col_args, aux_args)
-
+    # AOT-compile the SAME (exported-program) wrapper execution uses, so
+    # the persistent-cache entry this warms is the one the jit path hits
+    fn = _exported(cache_key, aval_key, ref)
     col_avals, aux_avals = aval_key
-    return jax.jit(fn).lower(col_avals, aux_avals).compile()
+    return fn.lower(col_avals, aux_avals).compile()
 
 
 def compiled_plan(structure: FusedPlan):

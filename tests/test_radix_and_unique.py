@@ -164,29 +164,6 @@ def test_host_partitioned_executor_matches_fused(monkeypatch):
     assert rows(spilled) == rows(normal)
 
 
-def test_block_join_path_matches(monkeypatch):
-    """Force the pallas block-join path (interpret mode on CPU); the
-    result must equal the sort-based unique path exactly."""
-    plan = _fk_pk_plan(unique_pk=True)
-    normal = engine.execute(plan).to_host()
-    monkeypatch.setenv("RJT_BLOCK_JOIN", "force")
-    blocked = engine.execute(plan).to_host()
-    monkeypatch.delenv("RJT_BLOCK_JOIN")
-
-    def rows(host):
-        return sorted(
-            tuple(
-                None if not host.columns[c].valid[i]
-                else host.columns[c].values[i].item()
-                for c in range(len(host.columns))
-            )
-            for i in range(host.num_rows)
-        )
-
-    assert blocked.num_rows == normal.num_rows
-    assert rows(blocked) == rows(normal)
-
-
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_merge_join_kernel_matches_reference(seed):
     """join_merge_impl + join_expand_merge_impl produce the exact multiset

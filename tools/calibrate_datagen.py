@@ -58,8 +58,13 @@ def correlate(record_path: str) -> dict:
     with open(record_path) as f:
         rec = json.load(f)
     ref = _reference_ms()
-    common = sorted(set(rec["result_rows"]) & set(ref))
-    rows = [rec["result_rows"][q] for q in common]
+    # preferred signal: total rows flowing through all joins (the work
+    # the engine actually does; reference runtime is driven by
+    # intermediate fan-out, not final result size — r3 VERDICT #6's
+    # 0.428 Spearman was largely this signal mismatch)
+    sig = rec.get("intermediate_rows") or rec["result_rows"]
+    common = sorted(set(sig) & set(ref))
+    rows = [sig[q] for q in common]
     ms = [ref[q] for q in common]
 
     def ranks(xs):
@@ -77,7 +82,7 @@ def correlate(record_path: str) -> dict:
     var_m = sum((b - mean_m) ** 2 for b in rm)
     spearman = cov / (var_r * var_m) ** 0.5
     top_ref = sorted(common, key=lambda q: -ref[q])[:10]
-    top_syn = sorted(common, key=lambda q: -rec["result_rows"][q])[:10]
+    top_syn = sorted(common, key=lambda q: -sig[q])[:10]
     # outliers: rank difference > half the suite
     off = sorted(
         (q for a, b, q in zip(rr, rm, common) if abs(a - b) > n / 2),
@@ -85,6 +90,8 @@ def correlate(record_path: str) -> dict:
     )
     analysis = {
         "reference_run": REF_RUNTIMES,
+        "signal": ("intermediate_join_rows"
+                   if rec.get("intermediate_rows") else "result_rows"),
         "spearman_rows_vs_reference_ms": round(spearman, 3),
         "queries_compared": n,
         "top10_reference_ms": top_ref,
@@ -150,16 +157,22 @@ def main():
 
     harness = JobHarness(PLANS, TableSource(host_tables=tables), SQL_DIR)
     counts = {}
+    inter = {}
     zeros = []
     for name in names:
         t0 = time.time()
         _, plan = harness.build_plan(name)
         rows = execute(plan, harness.context).num_rows
         counts[name] = rows
+        # total rows flowing through all joins: the per-query WORK
+        # signal (reference runtime is driven by intermediate fan-out,
+        # not the final result size) — engine._fused_attempts records it
+        totals = getattr(plan, "_last_join_totals", None)
+        inter[name] = (sum(totals.values()) if totals else rows)
         if rows == 0:
             zeros.append(name)
-        print(f"{name:>5}: {rows:>12,} rows  ({time.time()-t0:.1f}s)",
-              flush=True)
+        print(f"{name:>5}: {rows:>12,} rows  {inter[name]:>14,} join rows"
+              f"  ({time.time()-t0:.1f}s)", flush=True)
 
     out = args.out or os.path.join(
         REPO, "benchmarks", f"calibration_sf{args.scale}.json"
@@ -170,6 +183,7 @@ def main():
             "seed": args.seed,
             "generator_version": datagen._GEN_VERSION,
             "result_rows": counts,
+            "intermediate_rows": inter,
             "zero_result_queries": zeros,
             "total_rows": sum(counts.values()),
         }, f, indent=2, sort_keys=True)
@@ -185,7 +199,7 @@ def _chunked(args):
         names = json.load(f)["names"]
     if args.queries:
         names = [n for n in args.queries.split(",") if n]
-    merged, zeros = {}, []
+    merged, merged_inter, zeros = {}, {}, []
     out = args.out or os.path.join(
         REPO, "benchmarks", f"calibration_sf{args.scale}.json"
     )
@@ -206,6 +220,7 @@ def _chunked(args):
             doc = json.load(f)
         os.remove(cout)
         merged.update(doc["result_rows"])
+        merged_inter.update(doc.get("intermediate_rows", {}))
         zeros.extend(doc["zero_result_queries"])
         print(f"chunk {part[0]}..{part[-1]}: "
               f"{sum(doc['result_rows'].values()):,} rows "
@@ -218,6 +233,7 @@ def _chunked(args):
             "seed": args.seed,
             "generator_version": datagen._GEN_VERSION,
             "result_rows": merged,
+            "intermediate_rows": merged_inter,
             "zero_result_queries": zeros,
             "total_rows": sum(merged.values()),
         }, f, indent=2, sort_keys=True)
