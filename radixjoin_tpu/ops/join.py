@@ -112,13 +112,23 @@ def gather_expand(
     )
 
 
+#: above this index count the stacked (K, N) batched gather is banned:
+#: XLA may lay the gather output out as [N, K]{1,0}, whose minor dim K
+#: pads to the 128-lane tile — a 128/K x HBM blowup (observed: a 64M x 2
+#: stacked lookup planned a 32 GB allocation and killed the sf1.0 7a
+#: compile). Separate 1-D gathers are layout-safe at any size.
+_STACK_MAX = 1 << 22
+
+
 def _stacked_take(tables, pos):
-    """``[t[pos] for t in tables]`` as ONE stacked XLA gather: TPU gather
-    cost is per *index*, not per element, so K equal-length i32 tables
-    stacked into (K, N) and gathered once cost ~1/K of K separate
-    gathers (measured in plan/executor.py _gather_cols)."""
-    if len(tables) == 1:
-        return [tables[0][pos]]
+    """``[t[pos] for t in tables]`` as ONE stacked XLA gather where the
+    layout is safe: TPU gather cost is per *index*, not per element, so K
+    equal-length i32 tables stacked into (K, N) and gathered once cost
+    ~1/K of K separate gathers (measured in plan/executor.py
+    _gather_cols). Beyond ``_STACK_MAX`` indices the tables gather
+    separately (see the layout note above)."""
+    if len(tables) == 1 or pos.shape[0] >= _STACK_MAX:
+        return [t[pos] for t in tables]
     m = jnp.stack(tables)
     g = m[:, pos]
     return [g[t] for t in range(len(tables))]

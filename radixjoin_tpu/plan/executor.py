@@ -78,21 +78,22 @@ def _gather_cols(cols, idx, live, windowed: bool = False):
             tables, idx.astype(jnp.int32), windowed=windowed
         )
         return tuple(join_ops._join_planes(gs, specs, live))
+    stack_ok = idx.shape[0] < join_ops._STACK_MAX  # layout-safety bound
     outs = [None] * len(cols)
     groups: Dict = {}
     for i, (d, _v) in enumerate(cols):
         groups.setdefault(d.dtype, []).append(i)
     for dtype, members in groups.items():
-        if len(members) == 1:
-            i = members[0]
-            outs[i] = cols[i][0][idx]
+        if len(members) == 1 or not stack_ok:
+            for i in members:
+                outs[i] = cols[i][0][idx]
         else:
             m = jnp.stack([cols[i][0] for i in members])
             g = m[:, idx]
             for j, i in enumerate(members):
                 outs[i] = g[j]
-    if len(cols) == 1:
-        gv = (cols[0][1][idx] & live,)
+    if len(cols) == 1 or not stack_ok:
+        gv = tuple(v[idx] & live for _, v in cols)
     else:
         vm = jnp.stack([v for _, v in cols])
         gvm = vm[:, idx]
