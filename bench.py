@@ -42,6 +42,17 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS"):
+                    return int(ln.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return -1.0
+
+
 _partial = {"per_query": {}, "stage": "init", "result_rows": 0,
             "backend": "unknown", "stage_totals": {}}
 
@@ -361,7 +372,7 @@ def main():
             phase_times[tag] = round(dt, 1)
             slow = sorted(times.items(), key=lambda kv: -kv[1])[:5]
             log(f"bench: {tag} ({threads} threads) took {dt:.1f}s; "
-                f"slowest: "
+                f"rss={_rss_gb():.1f}GB; slowest: "
                 + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
 
         def precompile(name):
@@ -378,12 +389,29 @@ def main():
         def warm2(name):
             execute(plans[name], harness.context)
 
+        import gc
+
+        from radixjoin_tpu.plan import fused as _fzc
+
+        def _drop_aot(tag):
+            # AOT executables are only needed for each structure's FIRST
+            # execution (the jitted wrapper takes over after) — their
+            # host-side serialized binaries are ~100s of MB each for
+            # sf1.0 programs, and retaining all of them drove host RSS
+            # into the OOM killer (attempt r9: 88 GB after
+            # precompile-feedback, killed mid-exec2)
+            _fzc._compiled_exec.cache_clear()
+            gc.collect()
+            log(f"bench: {tag}: AOT cache dropped; rss={_rss_gb():.1f}GB")
+
         if pre_threads > 0:
             _run_phase("precompile", pre_threads, precompile)
         _run_phase("warmup-exec1", warm_threads, warm1)
+        _drop_aot("post-exec1")
         if pre_threads > 0:
             _run_phase("precompile-feedback", pre_threads, precompile)
         _run_phase("warmup-exec2", warm_threads, warm2)
+        _drop_aot("post-exec2")
         _partial["phase_times"] = phase_times
 
     per_query = _partial["per_query"]
@@ -391,7 +419,11 @@ def main():
         _partial["stage"] = f"pass {it}"
         t_iter = time.perf_counter()
         stage_totals: dict = {}
-        for name in names:
+        for qi, name in enumerate(names):
+            if qi % 20 == 0 and float(
+                os.environ.get("BENCH_SCALE", "0.1")
+            ) >= 0.5:
+                log(f"bench: pass {it} q{qi} rss={_rss_gb():.1f}GB")
             t0 = time.perf_counter()
             result = execute(plans[name], harness.context)
             dt = (time.perf_counter() - t0) * 1e3
@@ -409,7 +441,8 @@ def main():
                   if k.endswith("_ms"))
         ):
             _partial["stage_totals"] = stage_totals
-        log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s")
+        log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s; "
+            f"rss={_rss_gb():.1f}GB")
 
     # Bonus record: the same suite as ONE execute_many() batch
     # (overlapped dispatch + host transfers). Reported in `detail` only —
