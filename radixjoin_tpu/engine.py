@@ -599,7 +599,8 @@ class DeviceLedger:
         self._reservations: dict = {}  # token -> bytes
         self._seq = 0
         self._local = threading.local()
-        self.stats = {"evictions": 0, "evicted_bytes": 0, "waits": 0}
+        self.stats = {"evictions": 0, "evicted_bytes": 0, "waits": 0,
+                      "charged_bytes": 0}
 
     # -- token context ----------------------------------------------------
 
@@ -636,6 +637,7 @@ class DeviceLedger:
                 ref = weakref.ref(owner, lambda _r, k=key: self._forget(k))
                 e = self._entries[key] = _LedgerEntry(ref, 0, 0, release)
             e.nbytes += int(nbytes)
+            self.stats["charged_bytes"] += int(nbytes)  # cumulative H2D
             self._seq += 1
             e.seq = self._seq
             e.users.update(self._tokens())
