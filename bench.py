@@ -36,6 +36,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 PLANS = "/root/reference/plans.json"
 SQL_DIR = "/root/reference/job"
 BASELINE_TOTAL_MS = 914_223.0  # BASELINE.md: JOB 113-query total, 7995WX
+#: one default for main() AND the crash-path emitter (ADVICE r4: the
+#: crash path used '0.01' while main() ran 0.1, so a crash with
+#: BENCH_SCALE unset emitted a 10x-wrong vs_baseline)
+DEFAULT_SCALE = "0.1"
 
 
 def log(msg):
@@ -81,6 +85,16 @@ def _emit(total_ms, scale, n_queries, partial=False):
         detail["stage_split_ms"] = {
             k: round(v, 1) for k, v in _partial["stage_totals"].items()
         }
+    if "device_ms" in _partial:
+        detail["device_ms"] = _partial["device_ms"]
+    # degradation tallies (VERDICT r4 #6): a record must show whether
+    # its queries ran on-chip or via host fallback, and why
+    try:
+        from radixjoin_tpu.engine import engine_stats
+
+        detail["degradations"] = engine_stats()
+    except Exception:  # noqa: BLE001 - emit must never fail
+        pass
     if partial:
         detail["partial"] = f"watchdog fired during {_partial['stage']}"
     print(json.dumps({
@@ -109,13 +123,15 @@ def _arm_watchdog(scale, n_queries):
         log(f"bench: WATCHDOG after {deadline:.0f}s in stage "
             f"'{_partial['stage']}' ({len(timed)}/{n_queries} queries timed)")
         total = sum(timed.values())
-        if _partial["stage"] in ("batch", "secondary"):
+        if _partial["stage"] in ("batch", "secondary", "device-ms"):
             # the headline serial protocol finished completely; only a
             # bonus stage stalled — emit the full result, drop that
             # stage's detail, and exit clean
             _partial.pop("batch_wall_ms", None)
             if _partial["stage"] == "secondary":
                 _partial.pop("secondary", None)
+            if _partial["stage"] == "device-ms":
+                _partial.pop("device_ms", None)
             _emit(total, scale, len(timed))
             os._exit(0)
         _emit(total if timed else 0.0, scale, len(timed), partial=True)
@@ -289,7 +305,7 @@ def _secondary_pass(scale: float, names, harness_cls, source_cls, datagen,
 
 
 def main():
-    scale = float(os.environ.get("BENCH_SCALE", "0.1"))
+    scale = float(os.environ.get("BENCH_SCALE", DEFAULT_SCALE))
     repeat = int(os.environ.get("BENCH_REPEAT", "2"))
 
     from radixjoin_tpu.harness import datagen
@@ -421,7 +437,7 @@ def main():
         stage_totals: dict = {}
         for qi, name in enumerate(names):
             if qi % 20 == 0 and float(
-                os.environ.get("BENCH_SCALE", "0.1")
+                os.environ.get("BENCH_SCALE", DEFAULT_SCALE)
             ) >= 0.5:
                 log(f"bench: pass {it} q{qi} rss={_rss_gb():.1f}GB")
             t0 = time.perf_counter()
@@ -443,6 +459,43 @@ def main():
             _partial["stage_totals"] = stage_totals
         log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s; "
             f"rss={_rss_gb():.1f}GB")
+
+    # Device-time pass (VERDICT r4 #7): per-query device execution time,
+    # measured by fetching the 8-byte join totals ALONE (dispatch->ready
+    # wall time) and subtracting the measured RPC floor; payload
+    # transfer rides a separate fetch. Non-headline pass — the split
+    # costs one extra round trip per query, so the serial protocol above
+    # never pays it.
+    if (os.environ.get("BENCH_DEVICE_MS", "on") != "off"
+            and _partial["backend"] not in ("cpu", "cpu-fallback")):
+        _partial["stage"] = "device-ms"
+        try:
+            from radixjoin_tpu.harness import devtime
+
+            floor = devtime.measure_floor_ms()
+            os.environ["RJT_DEVICE_SYNC"] = "1"
+            dev_ms = {}
+            for name in names:
+                execute(plans[name], harness.context)
+                st = getattr(plans[name], "_last_exec_stats", None) or {}
+                if "device_sync_ms" in st:
+                    dev_ms[name] = max(0.0, st["device_sync_ms"] - floor)
+            _partial["device_ms"] = {
+                "floor_ms": round(floor, 2),
+                "total_ms": round(sum(dev_ms.values()), 1),
+                "queries_measured": len(dev_ms),
+                "slowest": sorted(
+                    ((n, round(v, 2)) for n, v in dev_ms.items()),
+                    key=lambda kv: -kv[1],
+                )[:5],
+            }
+            log(f"bench: device-ms total {sum(dev_ms.values()):.1f} ms "
+                f"over {len(dev_ms)} queries (floor {floor:.1f} ms)")
+        except Exception as e:  # noqa: BLE001 - bonus measurement
+            log(f"bench: device-ms pass failed ({type(e).__name__}: "
+                f"{str(e)[:160]})")
+        finally:
+            os.environ.pop("RJT_DEVICE_SYNC", None)
 
     # Bonus record: the same suite as ONE execute_many() batch
     # (overlapped dispatch + host transfers). Reported in `detail` only —
@@ -513,8 +566,11 @@ def _main_guarded():
             f"{len(timed)} queries timed: {type(e).__name__}")
         # a crash during/after a bonus stage doesn't taint the completed
         # serial protocol
-        complete = _partial["stage"] in ("batch", "secondary", "done")
-        _emit(sum(timed.values()), float(os.environ.get("BENCH_SCALE", "0.01")),
+        complete = _partial["stage"] in (
+            "batch", "secondary", "device-ms", "done"
+        )
+        _emit(sum(timed.values()),
+              float(os.environ.get("BENCH_SCALE", DEFAULT_SCALE)),
               len(timed), partial=not complete)
         sys.exit(0 if complete else 4)
 

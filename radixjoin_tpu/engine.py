@@ -813,6 +813,51 @@ def _is_oom(err: BaseException) -> bool:
     return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s
 
 
+#: process-wide degradation tallies (VERDICT r4 #6: 'on-chip 113/113'
+#: records could not be distinguished from host-fallback completions).
+#: Read via :func:`engine_stats`; bench.py emits them in the metric
+#: detail so every record shows how many queries degraded and why.
+ENGINE_STATS: dict = {
+    "infra_fallbacks": 0,       # compile-infra death -> host executor
+    "oom_retries": 0,           # RESOURCE_EXHAUSTED -> cache-drop retry
+    "oom_host_spills": 0,       # OOM retry ladder exhausted -> host
+    "admission_host_spills": 0,  # inputs alone exceed HBM -> host
+}
+#: query names (plan._name) that degraded, per kind — same keys
+ENGINE_STATS_QUERIES: dict = {k: [] for k in ENGINE_STATS}
+
+
+def engine_stats() -> dict:
+    out = dict(ENGINE_STATS)
+    out["queries"] = {k: list(v) for k, v in ENGINE_STATS_QUERIES.items()
+                      if v}
+    return out
+
+
+def reset_engine_stats() -> None:
+    for k in ENGINE_STATS:
+        ENGINE_STATS[k] = 0
+        ENGINE_STATS_QUERIES[k].clear()
+
+
+def _tally(kind: str, plan) -> None:
+    ENGINE_STATS[kind] += 1
+    name = getattr(plan, "_name", None)
+    if name is not None:
+        ENGINE_STATS_QUERIES[kind].append(str(name))
+
+
+#: substrings that must co-occur with a bare 'INTERNAL' for it to count
+#: as infrastructure: a genuine engine/kernel bug surfacing as an XLA
+#: INTERNAL error must NOT be silently rerouted to the host path
+#: (ADVICE r4 #2 — the old bare-INTERNAL match could turn a recurring
+#: miscompile into a suite that is slower but green)
+_INFRA_MARKERS = (
+    "rpc", "socket", "connection", "http", "compile", "unavailable",
+    "transport", "deadline", "stream removed", "subprocess",
+)
+
+
 def _is_infra(err: BaseException) -> bool:
     """Compile/runtime INFRASTRUCTURE failures (not engine bugs): the
     tunneled backend's compile helper intermittently dies on the largest
@@ -820,14 +865,19 @@ def _is_infra(err: BaseException) -> bool:
     1', observed 2026-08-20). These queries must complete via the
     host-staged executor instead of killing the suite — the reference's
     failure model is throw->exit (read_sql.cpp:1329), ours is
-    detect->degrade (SURVEY §5 failure detection)."""
+    detect->degrade (SURVEY §5 failure detection). Bare 'INTERNAL'
+    errors qualify only when an infra signature co-occurs."""
     s = str(err)
-    return (
+    if (
         "remote_compile" in s
         or "tpu_compile_helper" in s
         or "DEADLINE_EXCEEDED" in s
-        or ("INTERNAL" in s and "Mosaic" not in s)
-    )
+    ):
+        return True
+    if "INTERNAL" in s and "Mosaic" not in s:
+        sl = s.lower()
+        return any(m in sl for m in _INFRA_MARKERS)
+    return False
 
 
 def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
@@ -856,6 +906,12 @@ def _execute_fused(plan: Plan, context: Optional[Context]) -> HostTable:
             req = gen.send(fetched)
     except StopIteration as stop:
         stats["decode_ms"] = (time.perf_counter() - t0) * 1e3
+        sync_ms = getattr(plan, "_last_device_sync_ms", None)
+        if sync_ms is not None:
+            # dispatch->totals-ready wall time (includes ONE RPC floor;
+            # subtract a measured floor to get device execution time)
+            stats["device_sync_ms"] = sync_ms
+            plan._last_device_sync_ms = None
         # per-query stage breakdown, readable by harnesses after execute()
         # (diagnoses tunnel-stall vs compute time without a profiler run)
         plan._last_exec_stats = stats
@@ -1008,8 +1064,26 @@ def _fused_attempts(plan: Plan, context: Optional[Context]):
                 )
             if k_pad < root_pad:
                 root_arrays = _exec._slice_cols(root_arrays, k_pad)
-        fetched = yield [totals_dev] + list(root_arrays)
-        totals, pre = fetched[0], fetched[1:]
+        if os.environ.get("RJT_DEVICE_SYNC") == "1":
+            # device-time measurement mode (VERDICT r4 #7): fetch the
+            # 8-byte totals ALONE first — its wall time is dispatch-to-
+            # ready (device execution) plus one RPC floor, with no
+            # payload transfer in it; the root arrays then ride a second
+            # fetch that is (almost) pure transfer. Costs one extra
+            # round trip per query, so it is opt-in: bench.py runs it as
+            # a separate non-headline pass.
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            sync = yield [totals_dev]
+            plan._last_device_sync_ms = (
+                (_time.perf_counter() - _t0) * 1e3
+            )
+            totals = sync[0]
+            pre = yield list(root_arrays)
+        else:
+            fetched = yield [totals_dev] + list(root_arrays)
+            totals, pre = fetched[0], fetched[1:]
 
         # exactness: a join's total is trustworthy iff no descendant
         # general join overflowed its bucket; probe-shaped strategies
@@ -1340,6 +1414,7 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
 
     if _estimate_scan_bytes(plan) > budget:
         # the inputs alone exceed device HBM: host-staged multi-pass radix
+        _tally("admission_host_spills", plan)
         device_ledger().evict_idle()
         _settle_deallocs(seconds=0.0)
         host = _execute_host_partitioned(plan, budget_bytes=budget // 8)
@@ -1355,6 +1430,7 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
                     # instead of killing the suite
                     import sys
 
+                    _tally("infra_fallbacks", plan)
                     print(
                         f"engine: infra failure, host fallback "
                         f"({str(err)[:160]})",
@@ -1369,6 +1445,7 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
                 # plan): drop every idle device cache and retry cold; if
                 # the query alone still cannot fit, stream it through the
                 # host-staged multi-pass radix executor
+                _tally("oom_retries", plan)
                 clear_device_caches()
                 _settle_deallocs()
                 try:
@@ -1383,6 +1460,7 @@ def execute(plan: Plan, context: Optional[Context] = None) -> ColumnarTable:
                     except Exception as err3:  # noqa: BLE001
                         if not _is_oom(err3):
                             raise
+                        _tally("oom_host_spills", plan)
                         clear_device_caches()
                         _settle_deallocs(seconds=5.0)
                         host = _execute_host_partitioned(

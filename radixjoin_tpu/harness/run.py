@@ -109,6 +109,7 @@ class JobHarness:
         plan = plan_from_explain(
             self.plans[name]["Plan"], parsed, self.source.provider
         )
+        plan._name = name  # degradation tallies name the query
         return parsed, plan
 
     distributed = False  # set by main's --distributed flag
