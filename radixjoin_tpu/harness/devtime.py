@@ -297,9 +297,10 @@ def _exact_out_pad(bk, pk) -> int:
 
 
 def case_join_merge_e2e(n: int):
-    """General join end-to-end, production formulation: merge count +
-    zero-serial-gather materialization (join_merge_materialize_impl) of
-    one build + one probe payload column, at the exact learned bucket."""
+    """General join end-to-end, production formulation: single sort with
+    SORT-CARRIED payload planes (join_merge_full_impl) — no serial XLA
+    gather anywhere — of one build + one probe payload column, at the
+    exact learned bucket."""
     b, bk, bv, pk, pv = _dup_inputs(n)
     rng = np.random.default_rng(1)
     bpay = jnp.asarray(rng.integers(0, 1 << 30, b).astype(np.int32))
@@ -308,12 +309,8 @@ def case_join_merge_e2e(n: int):
 
     def step(c):
         bk, bv, pk, pv, bpay, ppay = c
-        ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
-            bk, bv, pk, pv
-        )
-        out_b, out_p, live = join_ops.join_merge_materialize_impl(
-            ids_s, run_start, offsets, total, s_pad,
-            [(bpay, bv)], [(ppay, pv)],
+        out_b, out_p, live, total = join_ops.join_merge_full_impl(
+            bk, bv, pk, pv, s_pad, [(bpay, bv)], [(ppay, pv)],
         )
         s = total + _consume(out_b[0][0], out_p[0][0], live)
         return _chain(bk, s), bv, pk, pv, bpay, ppay
@@ -321,6 +318,101 @@ def case_join_merge_e2e(n: int):
     out_rows = 2 * n  # expected fan-out
     min_bytes = (b + n) * (4 + 1 + 4) + out_rows * (4 + 4 + 1)
     return step, (bk, bv, pk, pv, bpay, ppay), out_rows, min_bytes
+
+
+def case_sort_carry(n: int, k: int):
+    """Marginal cost of one carried i32 sort operand: the packed-i64
+    single-key sort of join_merge_impl at combined size 1.25n, with k
+    carried planes. The (carry_k - carry_0) delta per k prices the
+    sort-carried payload routing of join_merge_full_impl."""
+    rng = np.random.default_rng(0)
+    m = n + n // 4  # combined (build + probe) size at dup=4
+    packed = jnp.asarray(rng.integers(0, 1 << 62, m).astype(np.int64))
+    planes = [
+        jnp.asarray(rng.integers(0, 1 << 30, m).astype(np.int32))
+        for _ in range(k)
+    ]
+
+    def step(c):
+        packed, *planes = c
+        out = jax.lax.sort((packed,) + tuple(planes), num_keys=1)
+        s = _consume(out[0])
+        return (_chain(packed, s),) + tuple(out[1:])
+
+    min_bytes = m * (8 + 4 * k) * 2
+    return step, (packed, *planes), m, min_bytes
+
+
+def case_scatter_max_starts(n: int):
+    """The owner-recovery scatter in isolation (production shape:
+    join_expand_impl / _merge_owner_recovery / join_csr_impl): n sorted
+    starts scatter-max their index into a 2n+1 marker, then a cummax
+    fills the runs. THE serial wall left in every general-join
+    expansion once gathers are windowed and payloads sort-carried."""
+    rng = np.random.default_rng(0)
+    s_pad = 2 * n
+    gaps = rng.integers(1, 4, n)
+    starts_np = np.minimum(
+        (np.cumsum(gaps) - gaps[0]).astype(np.int32), s_pad
+    )
+    starts = jnp.asarray(starts_np)
+
+    def step(c):
+        (starts,) = c
+        marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
+        marker = marker.at[starts].max(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"
+        )
+        owner = jax.lax.cummax(marker[:s_pad])
+        return (_chain(starts, _consume(owner)),)
+
+    min_bytes = n * 4 + s_pad * 4 * 3  # scatter write + cummax r/w
+    return step, (starts,), s_pad, min_bytes
+
+
+def case_cummax(n: int):
+    """lax.cummax i32 alone (the scan half of owner recovery)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-1, 1 << 30, n).astype(np.int32))
+
+    def step(c):
+        (x,) = c
+        y = jax.lax.cummax(x)
+        return (_chain(x, _consume(y)),)
+
+    return step, (x,), n, n * 4 * 2
+
+
+def case_unique_scatter_dim(n: int, b: int = 1024):
+    """Dimension-table FK->PK join end-to-end: a ``b``-key unique build
+    side (enum/dimension tables: JOB's info_type=113, kind_type=8,
+    company_type=4, role_type=12...) probed by n rows, payload
+    materialized. The whole lookup path rides the K-pass Mosaic lane
+    gather (window <= WINDOW_GATHER_MAX), so unlike the big-window
+    cases this shape has no serial op anywhere — the demonstration
+    that the engine reaches HBM-roofline-class throughput when the
+    build side fits a VMEM window (the most common JOB join step)."""
+    rng = np.random.default_rng(0)
+    bk = jnp.asarray(rng.permutation(b).astype(np.int32))
+    bv = jnp.ones(b, bool)
+    pk = jnp.asarray(rng.integers(0, b, n).astype(np.int32))
+    pv = jnp.ones(n, bool)
+    bpay = jnp.asarray(rng.integers(0, 1 << 30, b).astype(np.int32))
+    r_pad = join_ops.bucket_size(b)
+    base = jnp.zeros((), jnp.int64)
+
+    def step(c):
+        bk, bv, pk, pv, bpay = c
+        bidx, found, total = join_ops.join_unique_scatter_impl(
+            bk, bv, pk, pv, base, r_pad
+        )
+        (ob,) = join_ops.gather_expand_multi([bpay], bidx)
+        s = total + _consume(ob, found)
+        return _chain(bk, s), bv, pk, pv, bpay
+
+    # read pk+pv, write payload out + found; build side negligible
+    min_bytes = n * (4 + 1) + n * (4 + 1) + 3 * r_pad * 4
+    return step, (bk, bv, pk, pv, bpay), n, min_bytes
 
 
 def case_join_dev_csr(n: int):
@@ -507,11 +599,18 @@ CASES: Dict[str, Callable] = {
     "gather": case_gather,
     "scatter_add": case_scatter_add,
     "sort_kv": case_sort_kv,
+    "sort_carry0": lambda n: case_sort_carry(n, 0),
+    "sort_carry2": lambda n: case_sort_carry(n, 2),
+    "sort_carry4": lambda n: case_sort_carry(n, 4),
+    "scatter_max_starts": case_scatter_max_starts,
+    "cummax": case_cummax,
     "join_merge": case_join_merge,
     "join_merge_e2e": case_join_merge_e2e,
     "join_dev_csr": case_join_dev_csr,
     "join_csr": case_join_csr,
     "unique_scatter": case_unique_scatter,
+    "unique_scatter_dim1k": lambda n: case_unique_scatter_dim(n, 1 << 10),
+    "unique_scatter_dim4k": lambda n: case_unique_scatter_dim(n, 1 << 12),
     "fill_starts": case_fill_starts,
     "kpass_gather_1k": lambda n: _case_window_gather(n, 1 << 10),
     "kpass_gather_2k": lambda n: _case_window_gather(n, 1 << 11),

@@ -278,11 +278,22 @@ def join_merge_impl(
     build_valid: jnp.ndarray,
     probe_keys: jnp.ndarray,
     probe_valid: jnp.ndarray,
+    carry: Tuple[jnp.ndarray, ...] = (),
 ):
     """Single-sort merge join count: ONE co-sort of (build ++ probe) with
     segment scans, replacing the build sort + two sort-based searchsorteds
     of :func:`join_count_impl` (~45% less sort work — the dominant cost of
     a general join on TPU).
+
+    ``carry``: optional combined-length (B+P) i32 planes carried through
+    the sort as extra ``lax.sort`` operands. The bitonic sort streams
+    every operand through its compare-exchange passes, so a carried
+    plane costs ~one extra operand-pass — measured 5-11x cheaper than
+    re-ordering the plane afterwards with an output-size XLA gather
+    (0.116 G rows/s serial; benchmarks/roofline_v3.json), which is what
+    the pre-:func:`join_merge_full_impl` materializer had to do. When
+    ``carry`` is non-empty the return gains a 6th element: the tuple of
+    carried planes in combined-sorted order.
 
     Sorts the combined array by (invalid, key, side) carrying original row
     ids; builds precede probes within each equal-key run, so for a probe
@@ -335,7 +346,9 @@ def join_merge_impl(
             (invalid64 << 62) | (ukey << 30) | (side64 << 29)
             | ids.astype(jnp.int64)
         )
-        (packed_s,) = jax.lax.sort((packed,), num_keys=1)
+        packed_s, *carried = jax.lax.sort(
+            (packed,) + tuple(carry), num_keys=1
+        )
         ids_s = (packed_s & jnp.int64((1 << 29) - 1)).astype(jnp.int32)
         side_s = ((packed_s >> 29) & 1).astype(jnp.uint8)
         valid_s = (1 - ((packed_s >> 62) & 1)).astype(jnp.uint8)
@@ -347,7 +360,9 @@ def join_merge_impl(
         keysat = jnp.where(valid, keys, maxk)
         # [33] invalid | [32] side | [0..31] id
         packed = (invalid64 << 33) | (side64 << 32) | ids.astype(jnp.int64)
-        keysat_s, packed_s = jax.lax.sort((keysat, packed), num_keys=2)
+        keysat_s, packed_s, *carried = jax.lax.sort(
+            (keysat, packed) + tuple(carry), num_keys=2
+        )
         ids_s = (packed_s & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
         side_s = ((packed_s >> 32) & 1).astype(jnp.uint8)
         valid_s = (1 - ((packed_s >> 33) & 1)).astype(jnp.uint8)
@@ -375,6 +390,8 @@ def join_merge_impl(
     counts = jnp.where((is_probe == 1) & (valid_s == 1), builds_in_run, 0)
     offsets = jnp.cumsum(counts) - counts
     total = jnp.sum(counts, dtype=jnp.int64)
+    if carry:
+        return ids_s, run_start, counts, offsets, total, tuple(carried)
     return ids_s, run_start, counts, offsets, total
 
 
@@ -468,75 +485,88 @@ def _join_planes(gathered, specs, live):
     return out
 
 
-def join_merge_materialize_impl(
-    ids_sorted: jnp.ndarray,
-    run_start: jnp.ndarray,
-    offsets: jnp.ndarray,
-    total: jnp.ndarray,
+def join_merge_full_impl(
+    build_keys: jnp.ndarray,
+    build_valid: jnp.ndarray,
+    probe_keys: jnp.ndarray,
+    probe_valid: jnp.ndarray,
     s_pad: int,
     build_cols,
     probe_cols,
 ):
-    """Expansion + late materialization for the merge join with zero
-    output-size serial gathers (VERDICT r3 #3: the payload
-    materialization gathers dominated ``join_merge_e2e`` at 4.6 s /
-    0.013%% of roofline).
+    """Merge join end-to-end — count, expansion, and late
+    materialization — with ZERO serial XLA gathers anywhere.
 
-    The output-size random gathers ``col[bidx]`` / ``col[pidx]`` are
-    random because bidx/pidx carry *original row ids*. Instead:
+    The r4 materializer (git history: join_merge_materialize_impl)
+    pre-gathered every payload column into combined-sorted order with a
+    stacked ``col[ids_sorted]`` gather at (B+P) size. Above
+    ``_STACK_MAX`` indices the stack is layout-banned, so at 16M+ rows
+    those pre-gathers decayed to one SERIAL XLA gather per plane
+    (0.116 G rows/s — ~170 ms each at 20M; VERDICT r4 missing #2).
+    Here the payload planes ride the join's single ``lax.sort`` as
+    carried operands instead (:func:`join_merge_impl` ``carry``): the
+    sort re-orders them as a side effect of the compare-exchange passes
+    it already runs, at the marginal cost of one operand-pass per plane.
 
-    1. pre-gather every payload column into **combined-sorted order**
-       (``col[ids_sorted]``) — one stacked random gather per side at
-       (B+P) size, amortized across all columns (gather cost is per
-       index, not per element);
-    2. the output-size lookups then use sorted *positions*: build
-       payloads by ``bpos`` (block-windowed) and probe payloads by
-       ``owner`` (monotone) — both ride multi-table blocked-window
-       Mosaic passes at ~40x XLA's serial gather, sharing their streams
-       with the expansion's own offsets/run_start lookups.
+    After the sort everything is position-local: build payloads ride the
+    block-windowed ``bpos`` stream and probe payloads the monotone
+    ``owner`` stream through the multi-table blocked-window Mosaic
+    kernels, sharing their passes with the expansion's own
+    offsets/run_start lookups.
 
     ``build_cols`` / ``probe_cols``: sequences of (data, valid) device
-    arrays (i32/i64 data). Returns ``(out_build, out_probe, live)`` with
-    outputs as (data, valid & live) in the ``s_pad`` bucket, exactly
-    matching the contract (and results) of gathering by bidx/pidx.
+    arrays (i32/i64 data). Returns ``(out_build, out_probe, live,
+    total)`` with outputs as (data, valid & live) in the ``s_pad``
+    bucket — exact multiset semantics of gathering by (bidx, pidx).
 
     Replaces the reference's per-row projection loop
     (src/execute.cpp:236-243) — late materialization at full vector
     width, reference semantics (padding rows carry valid=False).
     """
+    bp = build_keys.shape[0]
+    pp = probe_keys.shape[0]
+    b_planes, b_specs = _split_planes(list(build_cols))
+    p_planes, p_specs = _split_planes(list(probe_cols))
+    # combined-length planes: the other side's half is don't-care (build
+    # planes are only ever read at build slots via bpos, probe planes at
+    # probe slots via owner)
+    carry = tuple(
+        jnp.concatenate([pl, jnp.zeros(pp, jnp.int32)]) for pl in b_planes
+    ) + tuple(
+        jnp.concatenate([jnp.zeros(bp, jnp.int32), pl]) for pl in p_planes
+    )
+    if carry:
+        _ids, run_start, _c, offsets, total, carried = join_merge_impl(
+            build_keys, build_valid, probe_keys, probe_valid, carry
+        )
+    else:
+        _ids, run_start, _c, offsets, total = join_merge_impl(
+            build_keys, build_valid, probe_keys, probe_valid
+        )
+        carried = ()
     n = offsets.shape[0]
     owner, j, live = _merge_owner_recovery(offsets, total, s_pad)
+    nb = len(b_planes)
+    b_sorted = list(carried[:nb])
+    p_sorted = list(carried[nb:])
 
-    # 1. pre-gather payloads into combined-sorted order (stacked per side)
-    def _presort(cols):
-        """-> (sorted i32 planes, reassembly specs)."""
-        if not cols:
-            return [], []
-        ln = cols[0][0].shape[0]
-        ci = jnp.clip(ids_sorted, 0, ln - 1)
-        planes, specs = _split_planes(cols)
-        return _stacked_take(planes, ci), specs
-
-    b_planes, b_specs = _presort(list(build_cols))
-    p_planes, p_specs = _presort(list(probe_cols))
-
-    # 2. owner stream: expansion lookups + every probe payload plane
+    # owner stream: expansion lookups + every probe payload plane
     got = gather_expand_multi(
-        [offsets, run_start] + p_planes, owner, windowed=True
+        [offsets, run_start] + p_sorted, owner, windowed=True
     )
     offs_g, rs_g, p_got = got[0], got[1], got[2:]
     within = j - offs_g
     bpos = jnp.clip(rs_g + within, 0, n - 1)
 
-    # 3. bpos stream: every build payload plane
+    # bpos stream: every build payload plane
     b_got = (
-        gather_expand_multi(b_planes, bpos, windowed=True)
-        if b_planes else []
+        gather_expand_multi(b_sorted, bpos, windowed=True)
+        if b_sorted else []
     )
 
     out_b = _join_planes(b_got, b_specs, live)
     out_p = _join_planes(p_got, p_specs, live)
-    return out_b, out_p, live
+    return out_b, out_p, live, total
 
 
 def join_unique_impl(
@@ -671,6 +701,11 @@ def join_csr_impl(
     keys have no matches by construction.
 
     Returns ``(bidx, pidx, live, total)`` in the ``s_pad`` bucket.
+    ASYMMETRIC contract (ADVICE r4): ``bidx`` is zeroed on dead rows;
+    ``pidx`` is NOT — it stays monotone/clamped across the whole pad
+    (garbage-but-in-bounds where ``live`` is False) so downstream payload
+    gathers can ride the blocked-window pass. Mask by ``live`` before
+    reading ``pidx``.
     """
     r_pad = counts_w.shape[0]
     pp = probe_keys.shape[0]
@@ -756,7 +791,9 @@ def join_dev_csr_impl(
     out-of-window probe keys have no matches by construction (valid
     build keys are in-window by provenance).
 
-    Returns ``(bidx, pidx, live, total)`` in the ``s_pad`` bucket.
+    Returns ``(bidx, pidx, live, total)`` in the ``s_pad`` bucket, with
+    :func:`join_csr_impl`'s asymmetric dead-row contract (bidx zeroed,
+    pidx monotone/clamped garbage where ``live`` is False).
     """
     bp = build_keys.shape[0]
     off_b64 = build_keys.astype(jnp.int64) - base

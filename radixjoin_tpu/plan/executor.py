@@ -118,14 +118,12 @@ def _join_general(kb, vb, kp, vp, bcols, pcols, out_pad: int):
 
 @functools.partial(jax.jit, static_argnames=("out_pad",))
 def _join_general_merge(kb, vb, kp, vp, bcols, pcols, out_pad: int):
-    """Single-sort merge-join formulation (join_merge_impl): ~45% less
-    sort work than the three-sort path; output rows ordered by sorted
-    probe position (a legal multiset ordering)."""
-    ids_s, run_start, _counts, offsets, total = join_ops.join_merge_impl(
-        kb, vb, kp, vp
-    )
-    out_b, out_p, live = join_ops.join_merge_materialize_impl(
-        ids_s, run_start, offsets, total, out_pad, bcols, pcols
+    """Single-sort merge-join formulation (join_merge_full_impl): ~45%
+    less sort work than the three-sort path, payload planes sort-carried
+    (no serial gathers); output rows ordered by sorted probe position (a
+    legal multiset ordering)."""
+    out_b, out_p, live, total = join_ops.join_merge_full_impl(
+        kb, vb, kp, vp, out_pad, bcols, pcols
     )
     return tuple(out_b), tuple(out_p), live, total
 

@@ -469,14 +469,11 @@ def _trace(structure: FusedPlan, col_args, aux_args):
                     kp, vp, kb, vb, base, spec.r_pad, spec.out_pad
                 )
         else:  # "merge": both children intermediate — single-sort join
-            ids_s, run_start, _c, offsets, total = join_ops.join_merge_impl(
-                kb, vb, kp, vp
-            )
-            totals.append(total)
-            # materialize straight from combined-sorted order: one
-            # stacked pre-gather per side at (B+P), then blocked-window
-            # passes at output size (no serial output-size gathers —
-            # VERDICT r3 #3)
+            # materialize by carrying payload planes through the join's
+            # single sort (sort-carried routing): no serial output- or
+            # input-size gathers anywhere on this path (VERDICT r3 #3 /
+            # r4 missing #2 — the stacked pre-gathers this replaces
+            # decayed to serial XLA gathers above _STACK_MAX)
             need: Dict[Tuple[int, int], Tuple] = {}
             b_keys, p_keys = [], []
             for side, ci in spec.out_cols:
@@ -487,10 +484,11 @@ def _trace(structure: FusedPlan, col_args, aux_args):
                 need[key] = src
                 on_build = (side == 0) == spec.build_left
                 (b_keys if on_build else p_keys).append(key)
-            out_bm, out_pm, live = join_ops.join_merge_materialize_impl(
-                ids_s, run_start, offsets, total, spec.out_pad,
+            out_bm, out_pm, live, total = join_ops.join_merge_full_impl(
+                kb, vb, kp, vp, spec.out_pad,
                 [need[k] for k in b_keys], [need[k] for k in p_keys],
             )
+            totals.append(total)
             got = dict(zip(b_keys, out_bm))
             got.update(zip(p_keys, out_pm))
             tables[idx] = [got[key] for key in spec.out_cols]
@@ -586,24 +584,51 @@ def _compiled(cache_key, ref):
     return jax.jit(fn)
 
 
+#: env knobs read at TRACE time (ops/join.py gather_expand* routing).
+#: They select which kernels the traced program contains, so they must
+#: key the on-disk export cache: without them a process running a
+#: documented A/B config (docs/CONFIG.md) would deserialize an export
+#: traced under the OTHER config and silently run the old routing,
+#: making the knob a no-op in fused mode (ADVICE r4 #1).
+_TRACE_ENV_KNOBS = ("RJT_PALLAS_GATHER", "RJT_BWG")
+
+
+def _trace_env_key() -> tuple:
+    env = tuple(
+        (k, os.environ.get(k, "")) for k in _TRACE_ENV_KNOBS
+    )
+    return env + (("x64", bool(jax.config.jax_enable_x64)),)
+
+
 @functools.lru_cache(maxsize=1)
 def _code_fingerprint() -> str:
     """Content hash of every source file that shapes a traced program.
-    Keys the on-disk exported-program cache: ANY kernel/compiler edit
+    Keys the on-disk exported-program cache: a kernel/compiler edit
     invalidates every cached export (a stale export would silently run
-    old program semantics)."""
+    old program semantics).
+
+    The file set is the TRACED closure only — ops/* (kernels),
+    plan/fused.py (_trace), plan/executor.py (_gather_cols /
+    _compact_probe_shaped), dtypes.py (key semantics). engine.py and
+    plan/ir.py are deliberately excluded (VERDICT r4 #4, cold start):
+    both are host-side orchestration — the plan structure they build is
+    fully captured in the structure ``cache_key`` and the aval
+    signature, so edits to them cannot change the traced computation
+    under a fixed key, and hashing them made every harness edit re-pay
+    the full 113-query trace+lower wall (~870 s on this 1-core host,
+    BENCH_r04)."""
     import hashlib
 
     pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha1()
     files = []
-    for sub in ("ops", "plan"):
-        d = os.path.join(pkg, sub)
-        files.extend(
-            os.path.join(d, f) for f in sorted(os.listdir(d))
-            if f.endswith(".py")
-        )
-    files.append(os.path.join(pkg, "engine.py"))
+    d = os.path.join(pkg, "ops")
+    files.extend(
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if f.endswith(".py")
+    )
+    files.append(os.path.abspath(__file__))
+    files.append(os.path.join(pkg, "plan", "executor.py"))
     files.append(os.path.join(pkg, "dtypes.py"))
     for f in files:
         with open(f, "rb") as fh:
@@ -621,7 +646,7 @@ def _export_dir():
 
 
 @functools.lru_cache(maxsize=512)
-def _exported(cache_key, aval_key, ref):
+def _exported(cache_key, aval_key, ref, env_key=None):
     """jitted wrapper around a (disk-cached) jax.export'ed program.
 
     Re-tracing + lowering the 113 fused query programs is single-core
@@ -645,7 +670,8 @@ def _exported(cache_key, aval_key, ref):
         import hashlib
 
         name = hashlib.sha1(
-            repr((_code_fingerprint(), cache_key, aval_key)).encode()
+            repr((_code_fingerprint(), _trace_env_key(), cache_key,
+                  aval_key)).encode()
         ).hexdigest()
         path = os.path.join(d, f"{name}.bin")
         if os.path.exists(path):
@@ -671,7 +697,8 @@ def _exported(cache_key, aval_key, ref):
 
 def compile_plan(structure: FusedPlan):
     key = structure.cache_key()
-    return _exported(key, _avals_of(structure), _Ref(structure, key))
+    return _exported(key, _avals_of(structure), _Ref(structure, key),
+                     _trace_env_key())
 
 
 def _avals_of(structure: FusedPlan):
@@ -688,10 +715,10 @@ def _avals_of(structure: FusedPlan):
 
 
 @functools.lru_cache(maxsize=512)
-def _compiled_exec(cache_key, aval_key, ref):
+def _compiled_exec(cache_key, aval_key, ref, env_key=None):
     # AOT-compile the SAME (exported-program) wrapper execution uses, so
     # the persistent-cache entry this warms is the one the jit path hits
-    fn = _exported(cache_key, aval_key, ref)
+    fn = _exported(cache_key, aval_key, ref, env_key)
     col_avals, aux_avals = aval_key
     return fn.lower(col_avals, aux_avals).compile()
 
@@ -708,4 +735,5 @@ def compiled_plan(structure: FusedPlan):
     execution share one compile + one device load. The persistent XLA
     disk cache still backs cross-process reuse."""
     key = structure.cache_key()
-    return _compiled_exec(key, _avals_of(structure), _Ref(structure, key))
+    return _compiled_exec(key, _avals_of(structure), _Ref(structure, key),
+                          _trace_env_key())
