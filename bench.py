@@ -57,6 +57,43 @@ def _rss_gb() -> float:
     return -1.0
 
 
+def _mem_snapshot(tag: str) -> None:
+    """Attribute host-RSS growth (VERDICT r4 #5: sf1.0 grew ~15-20 GB
+    per warmup phase into the OOM killer, owner unknown). Python-heap
+    bytes (tracemalloc) vs anonymous RSS (smaps_rollup) splits the
+    suspects: python-side retention (results, feedback, export blobs)
+    shows in both; native growth (tunnel-client buffer shadows, XLA
+    lowering arenas) shows only in anon. Opt-in: BENCH_RSS_PROFILE=1."""
+    if os.environ.get("BENCH_RSS_PROFILE") != "1":
+        return
+    import gc
+    import tracemalloc
+
+    gc.collect()
+    anon = rss = -1
+    try:
+        with open("/proc/self/smaps_rollup") as f:
+            for ln in f:
+                if ln.startswith("Anonymous:"):
+                    anon = int(ln.split()[1]) >> 10  # MB
+                elif ln.startswith("Rss:"):
+                    rss = int(ln.split()[1]) >> 10
+    except OSError:
+        pass
+    if not tracemalloc.is_tracing():
+        tracemalloc.start(10)
+        log(f"bench[mem] {tag}: rss={rss}MB anon={anon}MB "
+            f"(tracemalloc now on)")
+        return
+    cur, peak = tracemalloc.get_traced_memory()
+    top = tracemalloc.take_snapshot().statistics("lineno")[:5]
+    log(f"bench[mem] {tag}: rss={rss}MB anon={anon}MB "
+        f"pyheap={cur >> 20}MB (peak {peak >> 20}MB) "
+        f"native~={max(0, anon - (cur >> 10) // 1024)}MB")
+    for st in top:
+        log(f"bench[mem]   {st}")
+
+
 _partial = {"per_query": {}, "stage": "init", "result_rows": 0,
             "backend": "unknown", "stage_totals": {}}
 
@@ -331,6 +368,7 @@ def main():
     )
     log(f"bench: synthetic IMDB generated in {time.perf_counter()-t0:.1f}s "
         f"({sum(t.num_rows for t in tables.values())} rows)")
+    _mem_snapshot("datagen")
 
     source = TableSource(host_tables=tables)
     harness = JobHarness(PLANS, source, SQL_DIR)
@@ -390,6 +428,7 @@ def main():
             log(f"bench: {tag} ({threads} threads) took {dt:.1f}s; "
                 f"rss={_rss_gb():.1f}GB; slowest: "
                 + ", ".join(f"{n}={s:.1f}s" for n, s in slow))
+            _mem_snapshot(tag)
 
         def precompile(name):
             _eng.precompile_fused(plans[name], harness.context)
@@ -459,6 +498,7 @@ def main():
             _partial["stage_totals"] = stage_totals
         log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s; "
             f"rss={_rss_gb():.1f}GB")
+        _mem_snapshot(f"pass {it}")
 
     # Device-time pass (VERDICT r4 #7): per-query device execution time,
     # measured by fetching the 8-byte join totals ALONE (dispatch->ready

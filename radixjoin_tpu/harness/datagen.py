@@ -121,6 +121,19 @@ _RAND_CHARS = np.frombuffer(
     dtype=np.uint8,
 )
 
+#: Known real-IMDB per-literal match fractions for the filter columns
+#: JOB leans on hardest: (table, column) -> (eq_p, like_base). Public
+#: frequency facts (like REAL_ROWS / job/schema.sql), not tuned numbers:
+#: name.gender has ~3 values ('f' alone is ~1/3 of non-null rows — the
+#: v7 default of 0.5% starved every 9-family intermediate), and
+#: cast_info.note values like '(voice)' each cover a few percent of the
+#: 36M-row table. Columns not listed use the defaults in
+#: ``_gen_varchar_heap`` (eq 0.5%, length-decaying LIKE).
+REAL_SELECTIVITY: Dict[Tuple[str, str], Tuple[float, Optional[float]]] = {
+    ("name", "gender"): (0.30, None),
+    ("cast_info", "note"): (0.02, 0.01),
+}
+
 
 class LiteralHarvest:
     """Literals the JOB queries compare against, per (table, column)."""
@@ -340,10 +353,11 @@ class SyntheticIMDB:
         # (13b/13c harvest b'' via ``t.title != ''``)
         eqs = [e for e in dict.fromkeys(self.harvest.eq.get(key, [])) if e]
         patterns = list(dict.fromkeys(self.harvest.like.get(key, [])))
-        singles = [
-            s for p in patterns
-            for s in (_instantiate_like(rng, p) for _ in range(3)) if s
-        ]
+        singles = []          # (instantiated string, source pattern)
+        for p in patterns:
+            for s in (_instantiate_like(rng, p) for _ in range(3)):
+                if s:
+                    singles.append((s, p))
         # pairwise combinations: queries AND several LIKEs on one column
         # (5a: note LIKE '%(theatrical)%' AND LIKE '%(France)%') — no
         # single-pattern instantiation can satisfy both, so emit
@@ -355,21 +369,40 @@ class SyntheticIMDB:
                              + _instantiate_like(rng, q))
                 pairs.append(_instantiate_like(rng, q)
                              + _instantiate_like(rng, p))
-        pool: List[bytes] = eqs + singles + pairs
-        # Per-ITEM absolute match fractions (r3 VERDICT #6): the old
-        # flat 45% pool rate made every filter literal on a
-        # sparsely-harvested column match 10-45% of rows — on real IMDB
-        # a keyword LIKE '%sequel%' or one mi.info value selects well
-        # under 1%, so queries like 3a/3c ran far heavier on synthetic
-        # than on real data (Spearman vs reference runtimes 0.428,
-        # calibration_sf0.1.json). Each eq literal now matches ~0.5% of
-        # non-hot rows, each LIKE instantiation ~0.3%, each pair ~0.08%;
-        # the total pool rate is their sum (capped at the old 45%).
-        # Non-emptiness is owned by witness planting + the hot region,
-        # not by literal mass.
+        pool: List[bytes] = eqs + [s for s, _p in singles] + pairs
+        # Per-ITEM absolute match fractions (r3 VERDICT #6, refined v8
+        # for the r4 rank outliers 3c/9c):
+        #
+        # * eq literals default to ~0.5% of non-hot rows, but columns in
+        #   ``REAL_SELECTIVITY`` use known real-IMDB frequencies —
+        #   name.gender='f' matches ~35% of real names, not 0.5% (v7
+        #   starved the whole 9-family: 9b ranked 2/113 synthetic vs
+        #   47/113 on reference runtimes);
+        # * LIKE instantiation rates decay with pattern-body length — a
+        #   2-char '%An%' matches far more real strings than a 6-char
+        #   '%sequel%' (random-text containment shrinks ~geometrically
+        #   with substring length);
+        # * pairs stay rare (queries AND several LIKEs).
+        #
+        # The hot-entity boost is now PROPORTIONAL (x20 over cold, cap
+        # 0.9) instead of a flat 0.9: the flat boost made every sparse
+        # pattern match ~3.6% of rows no matter how selective (4% hot x
+        # 90%), which is why the 3-family (keyword '%sequel%') ran 5x
+        # rank-heavier on synthetic than on the reference (r4
+        # correlation: outliers 3c, 9c). Non-emptiness is owned by
+        # witness planting, not by literal mass.
+        eq_p, like_base = REAL_SELECTIVITY.get(key, (0.005, None))
+
+        def _like_p(pattern: bytes) -> float:
+            body = len(pattern.replace(b"%", b"").replace(b"_", b""))
+            base = like_base if like_base is not None else 0.08
+            return float(np.clip(base * 0.45 ** max(0, body - 2),
+                                 0.0005, 0.06))
+
         frac = np.concatenate([
-            np.full(len(eqs), 0.005),
-            np.full(len(singles), 0.003),
+            np.full(len(eqs), eq_p),
+            np.array([_like_p(p) for _s, p in singles])
+            if singles else np.zeros(0),
             np.full(len(pairs), 0.0008),
         ]) if pool else np.zeros(0)
         weights = frac
@@ -379,7 +412,8 @@ class SyntheticIMDB:
         picks = use_pool = None
         if pool:
             pheap, pstarts, plens = _pool_heap(pool)
-            rate = (np.where(hot, 0.9, cold_rate)
+            hot_rate = min(0.9, cold_rate * 20.0 + 0.02)
+            rate = (np.where(hot, hot_rate, cold_rate)
                     if hot is not None else cold_rate)
             use_pool = rng.random(n) < rate
             picks = rng.choice(
@@ -885,7 +919,9 @@ def _apply_writes(table: HostTable, wl: List) -> None:
 
 
 #: bump when generator logic changes (invalidates the disk cache)
-_GEN_VERSION = 7  # v7: per-literal absolute match fractions (VERDICT r3 #6)
+_GEN_VERSION = 8  # v8: real categorical selectivities (name.gender,
+# cast_info.note), length-decaying LIKE rates, proportional hot boost
+# (r4 correlation outliers 3c/9c; target Spearman >= 0.8)
 
 
 def generate_cached(

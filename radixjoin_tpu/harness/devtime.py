@@ -370,6 +370,49 @@ def case_scatter_max_starts(n: int):
     return step, (starts,), s_pad, min_bytes
 
 
+def case_scatter_max_sorted(n: int):
+    """scatter_max_starts with the ``indices_are_sorted`` hint: the
+    owner-recovery scatter's indices (exclusive-prefix offsets) ARE
+    sorted — if XLA's TPU scatter lowering exploits the hint, owner
+    recovery stops being serial with zero kernel work."""
+    rng = np.random.default_rng(0)
+    s_pad = 2 * n
+    gaps = rng.integers(1, 4, n)
+    starts_np = np.minimum(
+        (np.cumsum(gaps) - gaps[0]).astype(np.int32), s_pad
+    )
+    starts = jnp.asarray(starts_np)
+
+    def step(c):
+        (starts,) = c
+        marker = jnp.full(s_pad + 1, -1, dtype=jnp.int32)
+        marker = marker.at[starts].max(
+            jnp.arange(n, dtype=jnp.int32), mode="drop",
+            indices_are_sorted=True,
+        )
+        owner = jax.lax.cummax(marker[:s_pad])
+        return (_chain(starts, _consume(owner)),)
+
+    min_bytes = n * 4 + s_pad * 4 * 3
+    return step, (starts,), s_pad, min_bytes
+
+
+def case_gather_sorted(n: int):
+    """Random-valued gather whose indices are SORTED (monotone
+    non-decreasing), with the ``indices_are_sorted`` hint — prices
+    what a sort-then-gather route would pay for its gather leg."""
+    rng = np.random.default_rng(0)
+    vals = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+    idx = jnp.asarray(np.sort(rng.integers(0, n, n)).astype(np.int32))
+
+    def step(c):
+        vals, idx = c
+        out = jnp.take(vals, idx, indices_are_sorted=True)
+        return _chain(vals, out[0]), idx
+
+    return step, (vals, idx), n, n * 4 * 3
+
+
 def case_cummax(n: int):
     """lax.cummax i32 alone (the scan half of owner recovery)."""
     rng = np.random.default_rng(0)
@@ -603,6 +646,8 @@ CASES: Dict[str, Callable] = {
     "sort_carry2": lambda n: case_sort_carry(n, 2),
     "sort_carry4": lambda n: case_sort_carry(n, 4),
     "scatter_max_starts": case_scatter_max_starts,
+    "scatter_max_sorted": case_scatter_max_sorted,
+    "gather_sorted": case_gather_sorted,
     "cummax": case_cummax,
     "join_merge": case_join_merge,
     "join_merge_e2e": case_join_merge_e2e,

@@ -1,4 +1,5 @@
-"""Assemble benchmarks/roofline_v5.json (VERDICT r4 next-round #1).
+"""Assemble the roofline_v5 record (VERDICT r4 next-round #1): writes
+``roofline_v5.json`` into the benchmarks directory.
 
 Runs the devtime harness twice on the real chip — single-call mode for
 the multi-ms join/primitive cases (slope-mode fori_loop wrappers around
@@ -28,9 +29,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SINGLE_CASES = [
-    "gather", "scatter_add", "sort_kv",
+    "gather", "gather_sorted", "scatter_add", "sort_kv",
     "sort_carry0", "sort_carry2", "sort_carry4",
-    "scatter_max_starts",
+    "scatter_max_starts", "scatter_max_sorted",
     "join_merge", "join_merge_e2e", "join_dev_csr", "join_csr",
     "unique_scatter",
 ]
