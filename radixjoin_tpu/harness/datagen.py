@@ -384,13 +384,17 @@ class SyntheticIMDB:
         #   with substring length);
         # * pairs stay rare (queries AND several LIKEs).
         #
-        # The hot-entity boost is now PROPORTIONAL (x20 over cold, cap
-        # 0.9) instead of a flat 0.9: the flat boost made every sparse
-        # pattern match ~3.6% of rows no matter how selective (4% hot x
-        # 90%), which is why the 3-family (keyword '%sequel%') ran 5x
-        # rank-heavier on synthetic than on the reference (r4
-        # correlation: outliers 3c, 9c). Non-emptiness is owned by
-        # witness planting, not by literal mass.
+        # The hot-entity boost stays FLAT 0.9: a v8 experiment made it
+        # proportional to the cold rate (x20, cap 0.9) to damp the
+        # 3-family's '%sequel%' over-match — and collapsed the entire
+        # intermediate distribution (16b, the reference's heaviest
+        # query, fell to 4.4k join rows; Spearman 0.687 -> 0.445),
+        # because the 90% hot match rate is what makes the filter
+        # survivors of DIFFERENT tables overlap on the same entities
+        # (multi-filter joins die as rate^k otherwise). The 3-family
+        # over-match is the accepted price of that structure; hot rows
+        # pick pool items by the same per-item weights, so sparse
+        # patterns at least get a minority share of the hot mass.
         eq_p, like_base = REAL_SELECTIVITY.get(key, (0.005, None))
 
         def _like_p(pattern: bytes) -> float:
@@ -412,8 +416,7 @@ class SyntheticIMDB:
         picks = use_pool = None
         if pool:
             pheap, pstarts, plens = _pool_heap(pool)
-            hot_rate = min(0.9, cold_rate * 20.0 + 0.02)
-            rate = (np.where(hot, hot_rate, cold_rate)
+            rate = (np.where(hot, 0.9, cold_rate)
                     if hot is not None else cold_rate)
             use_pool = rng.random(n) < rate
             picks = rng.choice(
@@ -919,9 +922,10 @@ def _apply_writes(table: HostTable, wl: List) -> None:
 
 
 #: bump when generator logic changes (invalidates the disk cache)
-_GEN_VERSION = 8  # v8: real categorical selectivities (name.gender,
-# cast_info.note), length-decaying LIKE rates, proportional hot boost
-# (r4 correlation outliers 3c/9c; target Spearman >= 0.8)
+_GEN_VERSION = 9  # v9: real categorical selectivities (name.gender,
+# cast_info.note) + length-decaying LIKE cold rates over the v7
+# structure (flat 0.9 hot boost restored — the proportional v8 boost
+# collapsed the intermediate distribution; see _gen_varchar_heap)
 
 
 def generate_cached(

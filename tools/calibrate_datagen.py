@@ -20,11 +20,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("RJT_EXEC_MODE", "shared")
+# FUSED mode, not shared: only the fused executor records per-join
+# output totals (engine._fused_attempts -> plan._last_join_totals), and
+# intermediate join rows are THE correlation signal — in shared mode the
+# signal silently degrades to final result rows, which correlate at
+# ~0.45 instead of ~0.69 (this exact failure burned two v8/v9
+# calibration runs in round 5). Chunked subprocesses keep the per-
+# process fused-program count under the LLVM vm.max_map_count ceiling.
+os.environ["RJT_EXEC_MODE"] = "auto"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache (CPU entries are host-microarch-specific:
+# same keying scheme as bench.py's CPU fallback) — fused-mode chunks
+# re-compile nothing on a second run
+try:
+    import hashlib
+
+    with open("/proc/cpuinfo") as _f:
+        _info = [ln for ln in _f.read().splitlines()
+                 if ln.startswith(("model name", "flags"))][:2]
+    _fp = hashlib.sha1("\n".join(_info).encode()).hexdigest()[:10]
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, f".jax_cache_cpu_{_fp}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except OSError:
+    pass
 
 PLANS = "/root/reference/plans.json"
 SQL_DIR = "/root/reference/job"
@@ -168,7 +190,13 @@ def main():
         # signal (reference runtime is driven by intermediate fan-out,
         # not the final result size) — engine._fused_attempts records it
         totals = getattr(plan, "_last_join_totals", None)
-        inter[name] = (sum(totals.values()) if totals else rows)
+        if totals is None:
+            raise RuntimeError(
+                f"{name}: no per-join totals — the engine did not take "
+                "the fused path; the intermediate-rows signal would "
+                "silently degrade to result rows"
+            )
+        inter[name] = sum(totals.values())
         if rows == 0:
             zeros.append(name)
         print(f"{name:>5}: {rows:>12,} rows  {inter[name]:>14,} join rows"
