@@ -657,3 +657,116 @@ def test_wave_executor_dev_csr_path_matches(monkeypatch):
     monkeypatch.setenv("RJT_DEV_CSR", "off")
     got2 = sorted_rows(engine.execute(build_plan(), ctx).to_host().to_rows())
     assert got2 == expected
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_full_sort_carried_matches_reference(seed):
+    """join_merge_full_impl (sort-carried payload routing, the r5
+    production merge path) produces the exact multiset of projected
+    output rows — i32 + i64 payloads, NULL keys, duplicate keys, NULL
+    payload values — matching a numpy nested-loop reference."""
+    import jax.numpy as jnp
+    from radixjoin_tpu.ops import join as join_ops
+
+    rng = np.random.default_rng(seed)
+    nb, npr = 260, 700
+    bk = rng.integers(0, 120, nb).astype(np.int32)
+    bv = rng.random(nb) > 0.15
+    pk = rng.integers(0, 160, npr).astype(np.int32)
+    pv = rng.random(npr) > 0.15
+    bpay32 = rng.integers(-(1 << 30), 1 << 30, nb).astype(np.int32)
+    bpay_v = rng.random(nb) > 0.2
+    ppay64 = rng.integers(-(1 << 60), 1 << 60, npr).astype(np.int64)
+    ppay_v = rng.random(npr) > 0.2
+
+    bpad = join_ops.bucket_size(nb)
+    ppad = join_ops.bucket_size(npr)
+    kb = join_ops.pad_1d(jnp.asarray(bk), bpad)
+    vb = join_ops.pad_1d(jnp.asarray(bv), bpad)
+    kp = join_ops.pad_1d(jnp.asarray(pk), ppad)
+    vp = join_ops.pad_1d(jnp.asarray(pv), ppad)
+
+    expect = []
+    for i in range(nb):
+        if not bv[i]:
+            continue
+        for j in range(npr):
+            if pv[j] and pk[j] == bk[i]:
+                expect.append((
+                    int(bpay32[i]) if bpay_v[i] else None,
+                    int(ppay64[j]) if ppay_v[j] else None,
+                ))
+    expect.sort(key=repr)
+
+    out_b, out_p, live, total = join_ops.join_merge_full_impl(
+        kb, vb, kp, vp, join_ops.bucket_size(max(len(expect), 1)),
+        [(join_ops.pad_1d(jnp.asarray(bpay32), bpad),
+          join_ops.pad_1d(jnp.asarray(bpay_v), bpad))],
+        [(join_ops.pad_1d(jnp.asarray(ppay64), ppad),
+          join_ops.pad_1d(jnp.asarray(ppay_v), ppad))],
+    )
+    assert int(total) == len(expect)
+    lv = np.asarray(live)
+    bd, bvv = np.asarray(out_b[0][0]), np.asarray(out_b[0][1])
+    pd, pvv = np.asarray(out_p[0][0]), np.asarray(out_p[0][1])
+    got = sorted(
+        (
+            (int(bd[k]) if bvv[k] else None,
+             int(pd[k]) if pvv[k] else None)
+            for k in range(lv.shape[0]) if lv[k]
+        ),
+        key=repr,
+    )
+    assert got == expect
+
+
+def test_engine_tallies_infra_fallback(monkeypatch):
+    """A compile-infra failure must complete via the host executor AND
+    be counted per query name (VERDICT r4 #6: records could not tell
+    on-chip completions from silent host degrades)."""
+    import jax.numpy as jnp  # noqa: F401
+    from radixjoin_tpu import engine
+    from radixjoin_tpu.dtypes import DataType
+    from radixjoin_tpu.plan.ir import Plan
+    from radixjoin_tpu.storage.columnar import ColumnarTable, HostTable
+
+    engine.reset_engine_stats()
+    lt = HostTable.from_rows([[1, 10], [2, 20]],
+                             [DataType.INT32, DataType.INT64])
+    rt = HostTable.from_rows([[2], [3]], [DataType.INT32])
+    plan = Plan()
+    li = plan.new_input(ColumnarTable.from_host(lt))
+    ri = plan.new_input(ColumnarTable.from_host(rt))
+    ls = plan.new_scan_node(li, [(0, DataType.INT32), (1, DataType.INT64)])
+    rs = plan.new_scan_node(ri, [(0, DataType.INT32)])
+    plan.root = plan.new_join_node(
+        True, ls, rs, 0, 0, [(1, DataType.INT64), (2, DataType.INT32)]
+    )
+    plan._name = "unit-infra"
+
+    def boom(*a, **k):
+        raise RuntimeError(
+            "INTERNAL: remote_compile rpc failed: tpu_compile_helper "
+            "subprocess exit code 1"
+        )
+
+    monkeypatch.setattr(engine, "_execute_fused", boom)
+    result = engine.execute(plan, None)
+    assert result.num_rows == 1  # host fallback still exact
+    stats = engine.engine_stats()
+    assert stats["infra_fallbacks"] == 1
+    assert stats["queries"]["infra_fallbacks"] == ["unit-infra"]
+    # a plain engine bug (no infra signature) must NOT be swallowed
+    engine.reset_engine_stats()
+
+    def engine_bug(*a, **k):
+        raise RuntimeError("INTERNAL: something is wrong in lowering")
+
+    monkeypatch.setattr(engine, "_execute_fused", engine_bug)
+    try:
+        engine.execute(plan, None)
+        raise AssertionError("engine bug was swallowed")
+    except RuntimeError as e:
+        assert "something is wrong" in str(e)
+    assert engine.engine_stats()["infra_fallbacks"] == 0
+    engine.reset_engine_stats()
