@@ -93,6 +93,14 @@ class _JoinSpec:
     compact_pad: int = 0
 
 
+def _big_merge(bpad: int, ppad: int) -> bool:
+    """Route general joins with huge padded sides to the merge path
+    (see the inline note at the call site). ``RJT_BIG_MERGE`` = minimum
+    combined pad (build+probe) for the reroute; 0 disables."""
+    thr = int(os.environ.get("RJT_BIG_MERGE", str(1 << 23)))
+    return thr > 0 and (bpad + ppad) >= thr
+
+
 class FusedPlan:
     """Static structure + device operands of one fused query program.
 
@@ -208,6 +216,16 @@ class FusedPlan:
                     self.aux_args.append((_ex._dev_scalar_i64(base),))
                 else:
                     strategy = "unique_sort"
+            elif _big_merge(pads[bchild], pads[pchild]):
+                # At multi-million-row pads the CSR paths' window/
+                # grouped/payload lookups are SERIAL XLA gathers
+                # (0.116 G rows/s) at probe/output size, while the merge
+                # join is sort-bound with sort-carried payloads and
+                # windowed Mosaic output lookups — measured 16M e2e:
+                # merge 735 ms vs csr 895 / dev_csr 931 (roofline_v4,
+                # pre sort-carry; the gap widens after it). Strategy
+                # stays "merge" (the final else below).
+                pass
             else:
                 csr = _ex._general_csr_index(
                     plan, j, battr, pattr, pads[bchild], pads[pchild]
