@@ -125,11 +125,21 @@ def _emit(total_ms, scale, n_queries, partial=False):
     if "device_ms" in _partial:
         detail["device_ms"] = _partial["device_ms"]
     # degradation tallies (VERDICT r4 #6): a record must show whether
-    # its queries ran on-chip or via host fallback, and why
+    # its queries ran on-chip or via host fallback, and why. The
+    # headline number is the PRIMARY-pass snapshot (taken right after
+    # the timed passes); later phases (device-ms, batch, secondary)
+    # tally into the process-wide stats, reported separately when they
+    # differ so a secondary-phase infra flake cannot masquerade as a
+    # degraded primary (observed 2026-08-21: two remote-compile flakes
+    # during the sf0.01 secondary warmup showed up in the sf0.1 record).
     try:
         from radixjoin_tpu.engine import engine_stats
 
-        detail["degradations"] = engine_stats()
+        now = engine_stats()
+        snap = _partial.get("degradations_primary")
+        detail["degradations"] = snap if snap is not None else now
+        if snap is not None and snap != now:
+            detail["degradations_process"] = now
     except Exception:  # noqa: BLE001 - emit must never fail
         pass
     if partial:
@@ -298,6 +308,10 @@ def _secondary_pass(scale: float, names, harness_cls, source_cls, datagen,
 
     from radixjoin_tpu import engine as _eng
 
+    try:
+        _stats_before = _eng.engine_stats()
+    except Exception:  # noqa: BLE001
+        _stats_before = None
     t0 = time.perf_counter()
     queries = datagen.load_job_queries(SQL_DIR, names)
     tables = datagen.generate_cached(
@@ -323,7 +337,9 @@ def _secondary_pass(scale: float, names, harness_cls, source_cls, datagen,
                 f"{type(e).__name__}: {str(e)[:120]}")
 
     t0 = time.perf_counter()
-    with cf.ThreadPoolExecutor(8) as ex:
+    # 24-wide: the secondary scale is small by design, and first-run
+    # executable finalization overlaps across threads (see warm_default)
+    with cf.ThreadPoolExecutor(24) as ex:
         list(ex.map(warm, names))
     warm_s = time.perf_counter() - t0
     per = {}
@@ -333,12 +349,29 @@ def _secondary_pass(scale: float, names, harness_cls, source_cls, datagen,
         per[name] = (time.perf_counter() - t0) * 1e3
     total = sum(per.values())
     scaled_baseline = BASELINE_TOTAL_MS * scale
-    return {
+    out = {
         "scale": scale,
         "total_ms": round(total, 2),
         "vs_baseline": round(scaled_baseline / total, 3) if total else 0.0,
         "warmup_s": round(warm_s, 1),
     }
+    # secondary-phase degradation delta (see _emit): counters that moved
+    # during THIS phase belong in the secondary dict, not the primary's
+    before = _stats_before
+    if before is not None:
+        after = _eng.engine_stats()
+        delta = {k: after[k] - before.get(k, 0)
+                 for k in after if isinstance(after[k], int)}
+        if any(delta.values()):
+            out["degradations"] = {
+                k: v for k, v in delta.items() if v
+            }
+            out["degradations"]["queries"] = {
+                k: [q for q in after["queries"].get(k, [])
+                    if q not in before.get("queries", {}).get(k, [])]
+                for k, v in delta.items() if v
+            }
+    return out
 
 
 def main():
@@ -397,7 +430,15 @@ def main():
     #   0d. one more execute per query = the steady-state shape.
     # Each phase logs elapsed + the slowest plans so a regression is
     # attributable to a phase, not a 936 s blob.
-    warm_threads = int(os.environ.get("BENCH_WARMUP_THREADS", "8"))
+    # Warmup width: first execution of each program pays a service-side
+    # executable finalization on the tunnel (~1-100 s/program, device
+    # idle) which overlaps across threads — 24-wide cut exec1 from
+    # 322 s to 36 s at sf0.1 (measured 2026-08-21). At sf>=0.5 stay
+    # narrow: each in-flight execute pins full-scale result buffers and
+    # the wide pool drove host RSS into the OOM killer (bench_sf1
+    # attempt r9).
+    warm_default = "24" if scale < 0.5 else "6"
+    warm_threads = int(os.environ.get("BENCH_WARMUP_THREADS", warm_default))
     if warm_threads > 0:
         import concurrent.futures as cf
 
@@ -454,7 +495,13 @@ def main():
             # host-side serialized binaries are ~100s of MB each for
             # sf1.0 programs, and retaining all of them drove host RSS
             # into the OOM killer (attempt r9: 88 GB after
-            # precompile-feedback, killed mid-exec2)
+            # precompile-feedback, killed mid-exec2). Only dropped at
+            # big scales: re-loading an executable re-pays the
+            # service-side first-run finalization, which poisoned the
+            # sf0.1 device-ms pass (13a showed 10.6 s of "device time"
+            # that was really executable re-load after the drop).
+            if scale < 0.5:
+                return
             _fzc._compiled_exec.cache_clear()
             gc.collect()
             log(f"bench: {tag}: AOT cache dropped; rss={_rss_gb():.1f}GB")
@@ -499,6 +546,15 @@ def main():
         log(f"bench: pass {it} took {time.perf_counter()-t_iter:.1f}s; "
             f"rss={_rss_gb():.1f}GB")
         _mem_snapshot(f"pass {it}")
+
+    # snapshot the degradation tallies attributable to the warmup +
+    # timed passes, before the bonus phases run more queries (see _emit)
+    try:
+        from radixjoin_tpu.engine import engine_stats
+
+        _partial["degradations_primary"] = engine_stats()
+    except Exception:  # noqa: BLE001
+        pass
 
     # Device-time pass (VERDICT r4 #7): per-query device execution time,
     # measured by fetching the 8-byte join totals ALONE (dispatch->ready

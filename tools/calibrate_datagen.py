@@ -19,7 +19,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 # FUSED mode, not shared: only the fused executor records per-join
 # output totals (engine._fused_attempts -> plan._last_join_totals), and
 # intermediate join rows are THE correlation signal — in shared mode the
@@ -29,24 +28,40 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # process fused-program count under the LLVM vm.max_map_count ceiling.
 os.environ["RJT_EXEC_MODE"] = "auto"
 
-import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-# persistent compile cache (CPU entries are host-microarch-specific:
-# same keying scheme as bench.py's CPU fallback) — fused-mode chunks
-# re-compile nothing on a second run
-try:
-    import hashlib
+def _pin_backend(platform: str) -> None:
+    """Pin the backend BEFORE first jax device use. ``cpu`` is the
+    hermetic default (any host); ``default`` keeps the tunneled TPU —
+    the cardinality signal is backend-independent (host-side join-total
+    recording), and on the chip the 113 programs are the exact ones the
+    bench already compiled, so the sweep reuses the warm export/XLA
+    caches instead of paying a cold 113-program CPU compile."""
+    import jax
 
-    with open("/proc/cpuinfo") as _f:
-        _info = [ln for ln in _f.read().splitlines()
-                 if ln.startswith(("model name", "flags"))][:2]
-    _fp = hashlib.sha1("\n".join(_info).encode()).hexdigest()[:10]
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, f".jax_cache_cpu_{_fp}"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except OSError:
-    pass
+    if platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        # persistent compile cache (CPU entries are host-microarch-
+        # specific: same keying scheme as bench.py's CPU fallback) —
+        # fused-mode chunks re-compile nothing on a second run
+        try:
+            import hashlib
+
+            with open("/proc/cpuinfo") as _f:
+                _info = [ln for ln in _f.read().splitlines()
+                         if ln.startswith(("model name", "flags"))][:2]
+            _fp = hashlib.sha1("\n".join(_info).encode()).hexdigest()[:10]
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(REPO, f".jax_cache_cpu_{_fp}"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except OSError:
+            pass
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
 
 PLANS = "/root/reference/plans.json"
 SQL_DIR = "/root/reference/job"
@@ -144,6 +159,11 @@ def main():
         help="rank-correlate an existing calibration record against the "
              "reference's real-IMDB per-query runtimes (no queries run)",
     )
+    ap.add_argument(
+        "--platform", choices=["cpu", "default"], default="cpu",
+        help="default = tunneled TPU (reuses the bench's warm program "
+             "caches; cardinality signal is backend-independent)",
+    )
     args = ap.parse_args()
 
     if args.correlate:
@@ -153,6 +173,7 @@ def main():
 
     if args.chunk:
         return _chunked(args)
+    _pin_backend(args.platform)
 
     from radixjoin_tpu.engine import execute
     from radixjoin_tpu.harness import datagen
@@ -236,6 +257,7 @@ def _chunked(args):
         cout = f"{out}.part{i}"
         cmd = [sys.executable, os.path.abspath(__file__),
                "--scale", str(args.scale), "--seed", str(args.seed),
+               "--platform", args.platform,
                "--queries", ",".join(part), "--out", cout]
         r = subprocess.run(cmd, text=True, capture_output=True)
         sys.stderr.write(r.stderr[-400:] if r.returncode not in (0, 1)
